@@ -1,0 +1,150 @@
+"""RoIAlign for TPU — XLA vectorized implementation + FPN multi-scale wrapper.
+
+Replaces `torchvision.ops.roi_align` (C++/CUDA) used by the reference via
+`MultiScaleRoIAlign` inside the RoI heads (reference `code/helpers/model.py:346`;
+SURVEY.md §2b). Semantics match torchvision's `aligned=False` convention:
+
+* roi coords scaled by `spatial_scale` with no half-pixel offset;
+* roi width/height floored at 1;
+* `sampling_ratio` (=2 for Mask R-CNN) bilinear samples per bin side, averaged;
+* samples with y<-1 or y>H (resp. x) contribute exactly 0; in-range coords are
+  clamped to [0, H-1] and the top edge collapses (y_low==y_high==H-1).
+
+The implementation is a dense gather + weighted sum, fully batched over rois so
+XLA lowers it onto the VPU with no per-roi Python. A hand-written Pallas kernel
+with scalar-prefetched roi coordinates lives in `ops/roi_align_pallas.py` and is
+used on TPU for the hot path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_gather(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """Sample `feat` [H,W,C] at the outer product of ys [N,S] x xs [N,S].
+
+    Returns [N, S, S, C]. Out-of-range samples (per torchvision rule) are 0.
+    """
+    h, w, _ = feat.shape
+    my = (ys >= -1.0) & (ys <= h)
+    mx = (xs >= -1.0) & (xs <= w)
+    mask = my[:, :, None] & mx[:, None, :]
+
+    y = jnp.clip(ys, 0.0, h - 1.0)
+    x = jnp.clip(xs, 0.0, w - 1.0)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    ly = y - y0.astype(y.dtype)
+    lx = x - x0.astype(x.dtype)
+    hy = 1.0 - ly
+    hx = 1.0 - lx
+
+    def g(yi, xi):
+        # [N,S] x [N,S] -> [N,S,S,C]
+        return feat[yi[:, :, None], xi[:, None, :]]
+
+    val = (
+        g(y0, x0) * (hy[:, :, None] * hx[:, None, :])[..., None]
+        + g(y0, x1) * (hy[:, :, None] * lx[:, None, :])[..., None]
+        + g(y1, x0) * (ly[:, :, None] * hx[:, None, :])[..., None]
+        + g(y1, x1) * (ly[:, :, None] * lx[:, None, :])[..., None]
+    )
+    return jnp.where(mask[..., None], val, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("output_size", "sampling_ratio"))
+def roi_align(
+    feat: jnp.ndarray,
+    rois: jnp.ndarray,
+    spatial_scale: float,
+    *,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """RoIAlign on a single feature map.
+
+    Args:
+      feat: [H, W, C] feature map (channels-last, TPU friendly).
+      rois: [N, 4] XYXY boxes in image coordinates.
+      spatial_scale: feature-map stride reciprocal (e.g. 0.25 for P2).
+    Returns:
+      [N, output_size, output_size, C].
+    """
+    rois = rois.astype(jnp.float32) * spatial_scale
+    x1, y1, x2, y2 = rois[:, 0], rois[:, 1], rois[:, 2], rois[:, 3]
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+    bin_w = roi_w / output_size
+    bin_h = roi_h / output_size
+
+    sr = sampling_ratio
+    s = output_size * sr
+    # Sample coordinate for (bin ph, subsample iy):
+    #   y = y1 + ph*bin_h + (iy+0.5)*bin_h/sr  ==  y1 + (ph*sr + iy + 0.5) * (bin_h/sr)
+    steps = jnp.arange(s, dtype=jnp.float32) + 0.5  # flattened ph*sr+iy+0.5
+    ys = y1[:, None] + steps[None, :] * (bin_h / sr)[:, None]  # [N, S]
+    xs = x1[:, None] + steps[None, :] * (bin_w / sr)[:, None]
+
+    vals = _bilinear_gather(feat, ys, xs)  # [N, S, S, C]
+    n, _, _, c = vals.shape
+    vals = vals.reshape(n, output_size, sr, output_size, sr, c)
+    return vals.mean(axis=(2, 4))
+
+
+def fpn_level_assignment(
+    rois: jnp.ndarray,
+    num_levels: int = 4,
+    canonical_scale: float = 224.0,
+    canonical_level: int = 4,
+    min_level: int = 2,
+) -> jnp.ndarray:
+    """FPN level index per roi: k = floor(k0 + log2(sqrt(area)/224 + eps)),
+    clamped to [min_level, min_level+num_levels-1], returned 0-based.
+
+    Mirrors torchvision's LevelMapper used by the reference's RoI heads
+    (SURVEY.md §2b: "FPN level assignment k = ⌊4 + log2(√area/224)⌋").
+    """
+    area = jnp.maximum(
+        (rois[:, 2] - rois[:, 0]) * (rois[:, 3] - rois[:, 1]), 0.0
+    )
+    k = jnp.floor(canonical_level + jnp.log2(jnp.sqrt(area) / canonical_scale + 1e-6))
+    k = jnp.clip(k, min_level, min_level + num_levels - 1)
+    return (k - min_level).astype(jnp.int32)
+
+
+def multiscale_roi_align(
+    feats: Sequence[jnp.ndarray],
+    rois: jnp.ndarray,
+    spatial_scales: Sequence[float],
+    *,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """Multi-scale RoIAlign over FPN levels with canonical level assignment.
+
+    All rois are pooled on every level and the per-roi result is selected by a
+    one-hot on the assigned level — static shapes, no gathers over levels, and
+    the 4x redundant pooling is cheap relative to keeping shapes dynamic on TPU.
+
+    Args:
+      feats: list of [H_l, W_l, C] maps, fine-to-coarse (P2..P5).
+      rois: [N, 4] XYXY in image coordinates.
+      spatial_scales: matching strides reciprocal, e.g. (1/4, 1/8, 1/16, 1/32).
+    Returns:
+      [N, output_size, output_size, C].
+    """
+    levels = fpn_level_assignment(rois, num_levels=len(feats))
+    pooled = jnp.stack(
+        [
+            roi_align(f, rois, s, output_size=output_size, sampling_ratio=sampling_ratio)
+            for f, s in zip(feats, spatial_scales)
+        ]
+    )  # [L, N, P, P, C]
+    onehot = jax.nn.one_hot(levels, len(feats), dtype=pooled.dtype)  # [N, L]
+    return jnp.einsum("lnijc,nl->nijc", pooled, onehot)
