@@ -1,0 +1,244 @@
+"""Clip-level orchestration: jitted stages + host chunking for full sequences.
+
+This is the TPU-native restructuring of the reference's hot loop
+(`code/helpers/model.py:275-389`): instead of a per-frame Python loop that
+slices windows, caches features, and steps the optimizer, we run
+
+  1. `backbone_rpn_batch` — frozen backbone + RPN over fixed-size frame
+     batches (one compiled graph reused across the sequence),
+  2. a single HBM-resident, zero-halo-padded feature buffer per FPN level
+     (the "shared decoded buffer" of BASELINE.json's north star: slow and
+     fast pathways read the same buffer),
+  3. `detect_chunk` — SlowFast enhancement of a feature window (pre-padded
+     streaming mode) + RoI heads for E frames at a time,
+  4. `finalize_frame` — detection postprocess back to original resolution
+     with on-device mask pasting (torchvision's CPU paste loop replaced by
+     `ops/paste_masks.py`).
+
+All stage shapes are static; sequences of any length stream through without
+recompilation.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slowfast_vos_tpu.models.anchors import fpn_anchors
+from slowfast_vos_tpu.models.config import DetectionConfig, SlowFastConfig
+from slowfast_vos_tpu.models.resnet_fpn import FPN_STRIDES
+from slowfast_vos_tpu.models.rpn import filter_proposals
+from slowfast_vos_tpu.models.segmentation import SlowFastMaskRCNN
+from slowfast_vos_tpu.models.transform import ImageTransform
+from slowfast_vos_tpu.ops.paste_masks import paste_masks_in_image
+from slowfast_vos_tpu.ops.roi_align import multiscale_roi_align
+from slowfast_vos_tpu.models.heads import postprocess_detections_single
+
+ROI_SCALES = (1 / 4, 1 / 8, 1 / 16, 1 / 32)
+
+
+class Pipeline:
+    """Wires model + static geometry into reusable jitted stage functions."""
+
+    def __init__(
+        self,
+        model: SlowFastMaskRCNN,
+        transform: ImageTransform,
+        *,
+        backbone_batch: int = 8,
+        chunk: int = 8,
+    ):
+        self.model = model
+        self.cfg: DetectionConfig = model.cfg
+        self.sf: SlowFastConfig = model.sf
+        self.transform = transform
+        self.backbone_batch = backbone_batch
+        self.chunk = chunk
+
+        ch, cw = transform.canvas_hw
+        self.feature_hws = [(ch // s, cw // s) for s in FPN_STRIDES]
+        self.anchors = tuple(jnp.asarray(a) for a in fpn_anchors(self.feature_hws))
+        # torchvision clips proposals to the resized (un-padded) image extent.
+        self.image_hw = (float(transform.resized_hw[0]), float(transform.resized_hw[1]))
+
+        f = self.sf.fast
+        self.halo_left = f // 2
+        self.halo_right = -(-f // 2) - 1
+
+        self._backbone_rpn = jax.jit(self._backbone_rpn_impl, static_argnames=("training",))
+        self._detect_chunk = jax.jit(self._detect_chunk_impl)
+        self._finalize = jax.jit(self._finalize_impl)
+
+    # ---- jitted stage impls -------------------------------------------------
+
+    def _backbone_rpn_impl(self, variables, images, training: bool = False):
+        """images [B, Hc, Wc, 3] (normalized) -> (feats, proposals, pvalid)."""
+        feats = self.model.apply(variables, images, method="backbone_feats")
+        feats = jax.tree.map(jax.lax.stop_gradient, feats)
+        obj, dlt = self.model.apply(variables, feats, method="rpn_predict")
+        obj = jax.tree.map(jax.lax.stop_gradient, obj)
+        dlt = jax.tree.map(jax.lax.stop_gradient, dlt)
+        proposals, _scores, pvalid = filter_proposals(
+            obj, dlt, self.anchors, image_hw=self.image_hw, cfg=self.cfg, training=training
+        )
+        return feats, proposals, pvalid
+
+    def _roi_forward(self, variables, enhanced, proposals, pvalid):
+        """Shared RoI-head forward on enhanced features.
+
+        enhanced: 4 levels [E, h, w, 256]; proposals [E, P, 4] -> detections.
+        """
+        e, p = proposals.shape[:2]
+
+        pooled7 = jax.vmap(
+            lambda lv0, lv1, lv2, lv3, rois: multiscale_roi_align(
+                [lv0, lv1, lv2, lv3], rois, ROI_SCALES, output_size=7
+            )
+        )(*enhanced, proposals)
+        cls, reg = self.model.apply(
+            variables, pooled7.reshape(e * p, 7, 7, pooled7.shape[-1]), method="box_predict"
+        )
+        cls = cls.reshape(e, p, -1)
+        reg = reg.reshape(e, p, self.cfg.num_classes, 4)
+
+        boxes, scores, labels, dvalid = jax.vmap(
+            lambda c, r, pr, pv: postprocess_detections_single(
+                c, r, pr, pv, self.image_hw, self.cfg
+            )
+        )(cls, reg, proposals, pvalid)
+
+        d = boxes.shape[1]
+        pooled14 = jax.vmap(
+            lambda lv0, lv1, lv2, lv3, rois: multiscale_roi_align(
+                [lv0, lv1, lv2, lv3], rois, ROI_SCALES, output_size=self.cfg.mask_roi_size
+            )
+        )(*enhanced, boxes)
+        mask_logits = self.model.apply(
+            variables, pooled14.reshape(e * d, *pooled14.shape[2:]), method="mask_predict"
+        ).reshape(e, d, self.cfg.mask_out_size, self.cfg.mask_out_size, self.cfg.num_classes)
+        sel = labels[:, :, None, None, None]
+        mask_probs = jax.nn.sigmoid(
+            jnp.take_along_axis(mask_logits, sel.repeat(self.cfg.mask_out_size, 2).repeat(self.cfg.mask_out_size, 3), axis=4)
+        )[..., 0]
+        return boxes, scores, labels, dvalid, mask_probs
+
+    def _detect_chunk_impl(self, variables, feat_window, proposals, pvalid):
+        """feat_window: 4 levels [E + F - 1, h, w, 256] (halo included)."""
+        enhanced = self.model.apply(
+            variables, feat_window, method="enhance", train=False, pre_padded=True
+        )
+        return self._roi_forward(variables, enhanced, proposals, pvalid)
+
+    def _finalize_impl(self, boxes, scores, labels, valid, mask_probs):
+        """Canvas-space detections -> original-resolution boxes + pasted masks."""
+        orig_boxes = self.transform.inverse_boxes(boxes)
+        masks = jax.vmap(
+            lambda m, b, v: paste_masks_in_image(m, b, self.transform.original_hw, v)
+        )(mask_probs, orig_boxes, valid)
+        return orig_boxes, scores, labels, valid, masks
+
+    # ---- host drivers -------------------------------------------------------
+
+    def compute_sequence_features(self, variables, images: np.ndarray):
+        """Run frozen backbone+RPN over a whole sequence in static batches.
+
+        images: [T, H, W, 3] float32 in [0,1] at ORIGINAL resolution.
+        Returns (feats_padded: 4 levels [T+F-1, ...] with zero halo,
+                 proposals [T, P, 4], pvalid [T, P]).
+        """
+        t = images.shape[0]
+        b = self.backbone_batch
+        feats_parts, prop_parts, pvalid_parts = [], [], []
+        for i in range(0, t, b):
+            batch = images[i : i + b]
+            n = batch.shape[0]
+            if n < b:
+                batch = np.concatenate([batch, np.zeros((b - n, *batch.shape[1:]), batch.dtype)])
+            canvas = self.transform(jnp.asarray(batch))
+            feats, proposals, pvalid = self._backbone_rpn(variables, canvas)
+            feats_parts.append([f[:n] for f in feats[:4]])
+            prop_parts.append(proposals[:n])
+            pvalid_parts.append(pvalid[:n])
+        feats = [
+            jnp.concatenate([p[lvl] for p in feats_parts], axis=0) for lvl in range(4)
+        ]
+        feats_padded = [
+            jnp.pad(f, ((self.halo_left, self.halo_right), (0, 0), (0, 0), (0, 0)))
+            for f in feats
+        ]
+        return feats_padded, jnp.concatenate(prop_parts), jnp.concatenate(pvalid_parts)
+
+    def infer_sequence(self, variables, images: np.ndarray) -> list[dict[str, Any]]:
+        """Full-sequence inference at original resolution.
+
+        Returns one dict per frame: boxes [D,4], scores [D], labels [D],
+        valid [D], masks [D, H, W] (mask probabilities), all numpy.
+        """
+        t = images.shape[0]
+        feats_padded, proposals, pvalid = self.compute_sequence_features(variables, images)
+        e = self.chunk
+        halo = self.halo_left + self.halo_right
+        # Round the frame axis up to a chunk multiple so every window slice is
+        # in range — one compiled graph regardless of sequence length.
+        tp = -(-t // e) * e
+        extra = tp - t
+        if extra:
+            feats_padded = [
+                jnp.pad(f, ((0, extra), (0, 0), (0, 0), (0, 0))) for f in feats_padded
+            ]
+            proposals = jnp.pad(proposals, ((0, extra), (0, 0), (0, 0)))
+            pvalid = jnp.pad(pvalid, ((0, extra), (0, 0)))
+
+        out: list[dict[str, Any]] = []
+        for c in range(0, t, e):
+            n = min(e, t - c)
+            window = [f[c : c + e + halo] for f in feats_padded]
+            props_c = proposals[c : c + e]
+            pval_c = pvalid[c : c + e]
+            boxes, scores, labels, dvalid, mask_probs = self._detect_chunk(
+                variables, window, props_c, pval_c
+            )
+            fboxes, fscores, flabels, fvalid, fmasks = self._finalize(
+                boxes, scores, labels, dvalid, mask_probs
+            )
+            for f in range(n):
+                out.append(
+                    {
+                        "boxes": np.asarray(fboxes[f]),
+                        "scores": np.asarray(fscores[f]),
+                        "labels": np.asarray(flabels[f]),
+                        "valid": np.asarray(fvalid[f]),
+                        "masks": np.asarray(fmasks[f]),
+                    }
+                )
+        return out
+
+
+def build_pipeline(
+    slow: int = 3,
+    fast: int = 3,
+    original_hw: tuple[int, int] = (480, 854),
+    *,
+    num_classes: int = 2,
+    dtype=jnp.bfloat16,
+    min_size: int = 800,
+    max_size: int = 1333,
+    cfg: DetectionConfig | None = None,
+    **kw,
+) -> tuple[Pipeline, SlowFastMaskRCNN]:
+    cfg = cfg or DetectionConfig(num_classes=num_classes)
+    sf = SlowFastConfig(slow=slow, fast=fast)
+    model = SlowFastMaskRCNN(cfg=cfg, sf=sf, dtype=dtype)
+    transform = ImageTransform(original_hw, min_size=min_size, max_size=max_size)
+    return Pipeline(model, transform, **kw), model
+
+
+def init_variables(model: SlowFastMaskRCNN, key) -> dict:
+    """Initialize all parameters with tiny dummy shapes (weights are shape-
+    agnostic for convs/BN; only Dense layers need the real pooled size, which
+    is static anyway)."""
+    dummy = jnp.zeros((max(model.sf.fast, 2), 64, 64, 3), jnp.float32)
+    return model.init(key, dummy)

@@ -1,0 +1,161 @@
+"""Region Proposal Network: head, jittable proposal filtering, and losses.
+
+TPU-native equivalent of torchvision's `RegionProposalNetwork`, which the
+reference calls frozen and per-frame at `code/helpers/model.py:236-240`. Here
+the head runs batched over all clip frames at once; proposal filtering is a
+fixed-shape pipeline (per-level top-k -> decode -> clip -> size filter ->
+category-NMS over levels -> static top-k) vmapped over frames.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from slowfast_vos_tpu.models.config import DetectionConfig
+from slowfast_vos_tpu.models.matching import match_to_gt, sample_balanced, BELOW_LOW, BETWEEN
+from slowfast_vos_tpu.ops.boxes import box_iou, clip_boxes, decode_boxes, encode_boxes, remove_small_boxes_mask
+from slowfast_vos_tpu.ops.nms import batched_nms_mask, top_k_after_nms
+
+
+class RPNHead(nn.Module):
+    """Shared 3x3 conv + 1x1 objectness / 1x1 box-delta heads per FPN level."""
+
+    num_anchors: int = 3
+    channels: int = 256
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]):
+        conv = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)], name="conv", dtype=self.dtype)
+        cls = nn.Conv(self.num_anchors, (1, 1), name="cls_logits", dtype=self.dtype)
+        reg = nn.Conv(self.num_anchors * 4, (1, 1), name="bbox_pred", dtype=self.dtype)
+        logits, deltas = [], []
+        for f in feats:
+            t = nn.relu(conv(f))
+            logits.append(cls(t).astype(jnp.float32))
+            d = reg(t).astype(jnp.float32)
+            deltas.append(d.reshape(*d.shape[:-1], self.num_anchors, 4))
+        return logits, deltas
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("image_hw", "pre_nms_top_n", "post_nms_top_n", "nms_thresh", "min_size"),
+)
+def filter_proposals_single(
+    objectness: tuple[jnp.ndarray, ...],
+    deltas: tuple[jnp.ndarray, ...],
+    anchors: tuple[jnp.ndarray, ...],
+    *,
+    image_hw: tuple[float, float],
+    pre_nms_top_n: int,
+    post_nms_top_n: int,
+    nms_thresh: float,
+    min_size: float,
+):
+    """One image. objectness[l]: [H,W,A]; deltas[l]: [H,W,A,4]; anchors[l]: [HWA,4].
+
+    Returns (proposals [post_nms_top_n, 4], scores, valid).
+    """
+    cand_boxes, cand_scores, cand_levels = [], [], []
+    for lvl, (obj, dlt, anc) in enumerate(zip(objectness, deltas, anchors)):
+        scores = obj.reshape(-1)
+        dl = dlt.reshape(-1, 4)
+        k = min(pre_nms_top_n, scores.shape[0])
+        top_scores, top_idx = jax.lax.top_k(scores, k)
+        boxes = decode_boxes(dl[top_idx], anc[top_idx])
+        boxes = clip_boxes(boxes, image_hw)
+        cand_boxes.append(boxes)
+        cand_scores.append(top_scores)
+        cand_levels.append(jnp.full((k,), lvl, jnp.int32))
+    boxes = jnp.concatenate(cand_boxes)
+    scores = jnp.concatenate(cand_scores)
+    levels = jnp.concatenate(cand_levels)
+
+    valid = remove_small_boxes_mask(boxes, min_size)
+    keep, order = batched_nms_mask(boxes, scores, levels, valid, iou_threshold=nms_thresh)
+    idx, out_valid = top_k_after_nms(keep, order, scores, post_nms_top_n)
+    return boxes[idx], scores[idx], out_valid
+
+
+def filter_proposals(objectness, deltas, anchors, *, image_hw, cfg: DetectionConfig, training: bool):
+    """vmap over the frame axis. objectness[l]: [T,H,W,A]."""
+    pre = cfg.rpn_pre_nms_top_n_train if training else cfg.rpn_pre_nms_top_n_test
+    post = cfg.rpn_post_nms_top_n_train if training else cfg.rpn_post_nms_top_n_test
+    fn = functools.partial(
+        filter_proposals_single,
+        image_hw=image_hw,
+        pre_nms_top_n=pre,
+        post_nms_top_n=post,
+        nms_thresh=cfg.rpn_nms_thresh,
+        min_size=cfg.rpn_min_size,
+    )
+    return jax.vmap(lambda o, d: fn(o, d, tuple(anchors)))(tuple(objectness), tuple(deltas))
+
+
+def smooth_l1(x, beta):
+    ax = jnp.abs(x)
+    return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
+
+
+def rpn_loss_single(
+    key: jax.Array,
+    objectness_flat: jnp.ndarray,
+    deltas_flat: jnp.ndarray,
+    anchors_flat: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    cfg: DetectionConfig,
+):
+    """RPN training loss for one image, torchvision semantics:
+    matcher(0.3/0.7, low-quality), 256 samples @ 0.5 positive, BCE objectness
+    (mean over sampled) + smooth-l1(beta=1/9) box loss (sum over positives /
+    num sampled)."""
+    iou = box_iou(anchors_flat, gt_boxes)
+    matches = match_to_gt(
+        iou,
+        gt_valid,
+        high_threshold=cfg.rpn_fg_iou,
+        low_threshold=cfg.rpn_bg_iou,
+        allow_low_quality=True,
+    )
+    positive = matches >= 0
+    negative = matches == BELOW_LOW
+    pos_mask, neg_mask = sample_balanced(
+        key,
+        positive,
+        negative,
+        batch_size=cfg.rpn_batch_size_per_image,
+        positive_fraction=cfg.rpn_positive_fraction,
+    )
+    sampled = pos_mask | neg_mask
+    num_sampled = jnp.maximum(sampled.sum(), 1)
+
+    matched_gt = gt_boxes[jnp.clip(matches, 0)]
+    reg_targets = encode_boxes(matched_gt, anchors_flat)
+    box_l = smooth_l1(deltas_flat - reg_targets, beta=1.0 / 9.0).sum(-1)
+    box_loss = jnp.where(pos_mask, box_l, 0.0).sum() / num_sampled
+
+    labels = positive.astype(jnp.float32)
+    bce = jnp.maximum(objectness_flat, 0) - objectness_flat * labels + jnp.log1p(
+        jnp.exp(-jnp.abs(objectness_flat))
+    )
+    obj_loss = jnp.where(sampled, bce, 0.0).sum() / num_sampled
+    return obj_loss, box_loss
+
+
+def rpn_loss(key, objectness, deltas, anchors, gt_boxes, gt_valid, cfg: DetectionConfig):
+    """Batched over frames. objectness[l]: [T,H,W,A]; gt_boxes: [T,MAX_GT,4]."""
+    t = gt_boxes.shape[0]
+    obj_flat = jnp.concatenate([o.reshape(t, -1) for o in objectness], axis=1)
+    dlt_flat = jnp.concatenate([d.reshape(t, -1, 4) for d in deltas], axis=1)
+    anc_flat = jnp.concatenate(list(anchors), axis=0)
+    keys = jax.random.split(key, t)
+    obj_l, box_l = jax.vmap(
+        lambda k, o, d, gb, gv: rpn_loss_single(k, o, d, anc_flat, gb, gv, cfg)
+    )(keys, obj_flat, dlt_flat, gt_boxes, gt_valid)
+    return obj_l.mean(), box_l.mean()

@@ -1,0 +1,73 @@
+"""SlowFastMaskRCNN — the flagship model: frozen Mask R-CNN backbone/RPN +
+trainable SlowFast temporal fusion + trainable RoI heads.
+
+TPU-native rebuild of the reference `SegmentationModel`
+(`code/helpers/model.py:168-389`). Structural correspondence:
+
+* backbone+RPN frozen (`model.py:176-179`) -> here their gradients are cut
+  with `stop_gradient` in the pipeline, and the optimizer only sees the
+  slow_fast/box_head/mask_head subtrees;
+* per-frame feature cache (`model.py:188-227`) -> unnecessary: the backbone
+  runs batched over clip frames exactly once;
+* `detections_per_img=10` override (`model.py:187`) lives in DetectionConfig;
+* the in-forward optimizer stepping (`model.py:369-374`) is re-expressed as a
+  clip-window loss + optax gradient accumulation in `train/`.
+
+The module only holds parameters and primitive forward methods; orchestration
+(proposal filtering, sampling, losses, postprocess) lives in `pipeline.py` as
+pure jittable functions.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from slowfast_vos_tpu.models.config import DetectionConfig, SlowFastConfig
+from slowfast_vos_tpu.models.heads import BoxHead, MaskHead
+from slowfast_vos_tpu.models.resnet_fpn import ResNet50FPN
+from slowfast_vos_tpu.models.rpn import RPNHead
+from slowfast_vos_tpu.models.slowfast import SlowFastTemporal
+
+TRAINABLE_TOPLEVEL = ("slow_fast", "box_head", "mask_head")
+
+
+class SlowFastMaskRCNN(nn.Module):
+    cfg: DetectionConfig = DetectionConfig()
+    sf: SlowFastConfig = SlowFastConfig()
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        self.backbone = ResNet50FPN(dtype=self.dtype)
+        self.rpn = RPNHead(dtype=self.dtype)
+        self.slow_fast = SlowFastTemporal(slow=self.sf.slow, fast=self.sf.fast, dtype=self.dtype)
+        self.box_head = BoxHead(num_classes=self.cfg.num_classes, dtype=self.dtype)
+        self.mask_head = MaskHead(num_classes=self.cfg.num_classes, dtype=self.dtype)
+
+    def backbone_feats(self, images):
+        """[T, H, W, 3] -> 5 FPN levels [T, H/s, W/s, 256], strides 4..64."""
+        return self.backbone(images)
+
+    def rpn_predict(self, feats):
+        return self.rpn(feats)
+
+    def enhance(self, feats, train: bool = False, pre_padded: bool = False):
+        """SlowFast-enhance the 4 RoI levels (the stride-64 'pool' level feeds
+        only the RPN and is never consumed by RoI heads, so it is skipped)."""
+        return [self.slow_fast(f, train=train, pre_padded=pre_padded) for f in feats[:4]]
+
+    def box_predict(self, pooled):
+        return self.box_head(pooled)
+
+    def mask_predict(self, pooled):
+        return self.mask_head(pooled)
+
+    def __call__(self, images):
+        """Init-only path: touches every submodule once with tiny shapes."""
+        feats = self.backbone_feats(images)
+        obj, dlt = self.rpn_predict(feats)
+        enhanced = self.enhance(feats)
+        pooled7 = jnp.zeros((1, 7, 7, 256), images.dtype)
+        pooled14 = jnp.zeros((1, 14, 14, 256), images.dtype)
+        cls, reg = self.box_predict(pooled7)
+        mask = self.mask_predict(pooled14)
+        return enhanced, obj, dlt, cls, reg, mask

@@ -1,0 +1,146 @@
+"""SlowFast temporal fusion over FPN features — whole-clip formulation.
+
+The reference (`code/helpers/model.py:30-165`) runs, for every frame, a
+two-pathway stack of *valid* 3D convolutions over a temporal window (fast = F
+frames, slow = S centered frames), collapsing time to 1 and emitting a
+256-channel map (slow 224 + fast 32) per FPN level, with two fast->slow
+lateral fusions (1x1x k_f2s convs). Kernel sizes are derived so three valid
+convs collapse each pathway (`model.py:96-109`).
+
+TPU-first redesign: because valid convolutions are translation invariant, the
+per-frame sliding-window loop is EXACTLY equivalent to running the same convs
+once over the whole zero-padded clip:
+
+* pad the T-frame feature sequence with floor(F/2) zeros left and
+  ceil(F/2)-1 zeros right (matching the reference's out-of-range zero padding,
+  `model.py:215-225`) -> P of length T+F-1;
+* the fast chain consumes P; the slow chain consumes
+  P[d : d+T+S-1] with d = floor(F/2) - floor(S/2) (the centered slow window,
+  `model.py:242-248,336-338`);
+* each lateral fusion is a valid temporal conv of the fast sequence whose
+  output aligns index-for-index with the slow sequence (window position p of
+  output frame t equals sequence position t+p for both chains, by induction
+  over the valid convs);
+* after three stages both chains have length exactly T — one output per frame.
+
+A unit test verifies sequence mode == per-window mode to float tolerance.
+
+One divergence: training-mode BatchNorm normalizes over the whole clip here
+rather than per window. At inference (running stats) the two are bit-identical;
+for training it changes only BN statistics, not model capacity.
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def pathway_kernel_sizes(pathway_size: int) -> tuple[int, int, int]:
+    """Three valid temporal kernel sizes that collapse `pathway_size` -> 1
+    (reference `_calc_kernel_sizes`, model.py:96-103)."""
+    div = pathway_size // 3
+    rem = pathway_size % 3
+    if rem == 0:
+        return (div, div + 1, div + 1)
+    if rem == 1:
+        return (div + 1, div + 1, div + 1)
+    return (div + 1, div + 1, div + 2)
+
+
+def fuse_kernel_size(slow_in: int, slow_kernel: int, fast_in: int, fast_kernel: int):
+    """Reference `_calc_fuse_kernel_size` (model.py:105-109)."""
+    out_slow = slow_in - slow_kernel + 1
+    out_fast = fast_in - fast_kernel + 1
+    return out_fast - out_slow + 1, out_slow, out_fast
+
+
+class SlowFastTemporal(nn.Module):
+    """Two-pathway temporal fusion applied to one FPN level of a whole clip.
+
+    Input [T, H, W, C] per-frame features; output [T, H, W, C] temporally
+    enhanced features (slow 224 ++ fast 32 channels). The same module instance
+    (shared weights) is applied to every FPN level, as in the reference
+    (`temporally_enhance_features`, model.py:151-165).
+    """
+
+    slow: int = 3
+    fast: int = 3
+    channels: int = 256
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def _conv_bn(self, x, features, kt, name, train):
+        x = nn.Conv(
+            features,
+            (kt, 3, 3),
+            padding=[(0, 0), (1, 1), (1, 1)],
+            name=f"{name}_conv",
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=f"{name}_bn", dtype=jnp.float32
+        )(x)
+        return x
+
+    def _fuse(self, x, kt, name, train):
+        x = nn.Conv(
+            64,
+            (kt, 1, 1),
+            padding=[(0, 0), (0, 0), (0, 0)],
+            use_bias=False,
+            name=f"{name}_conv",
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=f"{name}_bn", dtype=jnp.float32
+        )(x)
+        return nn.relu(x)
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, train: bool = False, pre_padded: bool = False) -> jnp.ndarray:
+        """feats: [T, H, W, C] per-frame features. With `pre_padded=True` the
+        input already carries the F-1 halo frames (zero or real neighbors from
+        an adjacent chunk) and the output has T-(F-1) frames — the chunked
+        streaming mode used by the sequence-eval driver."""
+        s, f = self.slow, self.fast
+        ks1, ks2, ks3 = pathway_kernel_sizes(s)
+        kf1, kf2, kf3 = pathway_kernel_sizes(f)
+        kfuse1, out_s1, out_f1 = fuse_kernel_size(s, ks1, f, kf1)
+        kfuse2, _, _ = fuse_kernel_size(out_s1, ks2, out_f1, kf2)
+
+        if pre_padded:
+            padded = feats
+            t = feats.shape[0] - (f - 1)
+        else:
+            t = feats.shape[0]
+            left = f // 2
+            right = -(-f // 2) - 1  # ceil(f/2) - 1
+            padded = jnp.pad(feats, ((left, right), (0, 0), (0, 0), (0, 0)))
+        d = f // 2 - s // 2
+
+        fast_x = padded[None]  # [1, T+F-1, H, W, C]
+        slow_x = padded[None, d : d + t + s - 1]
+
+        # Stage 1
+        slow_x = nn.relu(self._conv_bn(slow_x, 192, ks1, "slow1", train))
+        fast_x = nn.relu(self._conv_bn(fast_x, 32, kf1, "fast1", train))
+        slow_x = jnp.concatenate([slow_x, self._fuse(fast_x, kfuse1, "f2s1", train)], axis=-1)
+
+        # Stage 2
+        slow_x = nn.relu(self._conv_bn(slow_x, 192, ks2, "slow2", train))
+        fast_x = nn.relu(self._conv_bn(fast_x, 32, kf2, "fast2", train))
+        slow_x = jnp.concatenate([slow_x, self._fuse(fast_x, kfuse2, "f2s2", train)], axis=-1)
+
+        # Stage 3 (no relu, reference model.py:143-148)
+        slow_x = self._conv_bn(slow_x, 224, ks3, "slow3", train)
+        fast_x = self._conv_bn(fast_x, 32, kf3, "fast3", train)
+
+        out = jnp.concatenate([slow_x, fast_x], axis=-1)[0]  # [T, H, W, 256]
+        return out.astype(jnp.float32)
+
+
+def enhance_fpn_levels(module_apply, feats: Sequence[jnp.ndarray]) -> list[jnp.ndarray]:
+    """Apply the (weight-shared) SlowFast module to each FPN level."""
+    return [module_apply(f) for f in feats]

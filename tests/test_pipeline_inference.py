@@ -1,0 +1,66 @@
+"""End-to-end smoke test of the inference pipeline on a tiny canvas with random
+weights: shapes, validity semantics, finiteness, and chunking across sequence
+lengths that are not multiples of the chunk size."""
+import jax
+import numpy as np
+import pytest
+
+from slowfast_vos_tpu.models.config import DetectionConfig
+from slowfast_vos_tpu.models.pipeline import build_pipeline, init_variables
+
+TINY_CFG = DetectionConfig(
+    rpn_pre_nms_top_n_test=64,
+    rpn_post_nms_top_n_test=32,
+    rpn_pre_nms_top_n_train=64,
+    rpn_post_nms_top_n_train=32,
+    detections_per_img=5,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    pipe, model = build_pipeline(
+        slow=1,
+        fast=3,
+        original_hw=(60, 100),
+        min_size=64,
+        max_size=128,
+        cfg=TINY_CFG,
+        backbone_batch=4,
+        chunk=4,
+    )
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    return pipe, variables
+
+
+def test_infer_sequence_shapes(tiny_pipeline):
+    pipe, variables = tiny_pipeline
+    t = 6  # not a multiple of chunk=4
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 1, (t, 60, 100, 3)).astype(np.float32)
+    dets = pipe.infer_sequence(variables, images)
+    assert len(dets) == t
+    for d in dets:
+        assert d["boxes"].shape == (5, 4)
+        assert d["scores"].shape == (5,)
+        assert d["masks"].shape == (5, 60, 100)
+        assert np.isfinite(d["boxes"]).all()
+        assert np.isfinite(d["masks"]).all()
+        assert (d["masks"] >= 0).all() and (d["masks"] <= 1).all()
+        # boxes are in ORIGINAL resolution
+        assert (d["boxes"][:, [0, 2]] <= 100 + 1e-3).all()
+        assert (d["boxes"][:, [1, 3]] <= 60 + 1e-3).all()
+
+
+def test_transform_geometry(tiny_pipeline):
+    pipe, _ = tiny_pipeline
+    tr = pipe.transform
+    # min side 60 -> 64 would make max side 106 > 128? 100*64/60=106.7 ≤ 128 -> ok
+    assert tr.resized_hw == (64, 107)
+    assert tr.canvas_hw == (64, 128)
+    import jax.numpy as jnp
+
+    boxes = jnp.array([[10.0, 6.0, 50.0, 30.0]])
+    fwd = tr.transform_boxes(boxes)
+    back = tr.inverse_boxes(fwd)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(boxes), rtol=1e-5)
