@@ -1,0 +1,60 @@
+"""Benchmark: clip-batched SlowFast Mask R-CNN inference throughput on TPU.
+
+Metric: frames/sec/chip of the full VOS inference pipeline (transform ->
+frozen backbone -> RPN -> whole-clip SlowFast fusion -> RoI heads -> mask
+paste at original resolution) on DAVIS-resolution (480x854) clips, flagship
+3-3 configuration with `detections_per_img=10` — the exact per-frame work of
+the reference's evaluation loop (`code/helpers/davis_evaluate.py:29-44`).
+
+Baseline: the reference reports 544 s for the full DAVIS-2016 val evaluation
+(1376 frames) in the 3-3 config on its GPU (`BASELINE.md`, Experiments.tex),
+i.e. ~2.53 frames/s. `vs_baseline` is our fps / 2.53.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_FPS = 1376 / 544.0  # 3-3 config, BASELINE.md
+
+
+def main():
+    import jax
+
+    from slowfast_vos_tpu.models.pipeline import build_pipeline, init_variables
+
+    pipe, model = build_pipeline(slow=3, fast=3, original_hw=(480, 854))
+    variables = init_variables(model, jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(63)
+    warm = rng.integers(0, 255, (16, 480, 854, 3), dtype=np.uint8)
+    clip = rng.integers(0, 255, (64, 480, 854, 3), dtype=np.uint8)
+
+    # Warm-up: compile all stage graphs.
+    pipe.infer_sequence(variables, warm)
+
+    t0 = time.time()
+    dets = pipe.infer_sequence(variables, clip)
+    dt = time.time() - t0
+    assert len(dets) == clip.shape[0]
+    fps = clip.shape[0] / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "inference_frames_per_sec_per_chip",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / REFERENCE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -19,7 +19,6 @@ from slowfast_vos_tpu.models.matching import match_to_gt, sample_balanced, BELOW
 from slowfast_vos_tpu.models.rpn import smooth_l1
 from slowfast_vos_tpu.ops.boxes import box_iou, clip_boxes, decode_boxes, encode_boxes, remove_small_boxes_mask
 from slowfast_vos_tpu.ops.nms import batched_nms_mask, top_k_after_nms
-from slowfast_vos_tpu.ops.roi_align import roi_align
 
 
 class BoxHead(nn.Module):
@@ -103,7 +102,8 @@ def select_training_samples(
         batch_size=cfg.box_batch_size_per_image,
         positive_fraction=cfg.box_positive_fraction,
     )
-    idx, is_pos, valid = _masks_to_sorted_indices(pos_mask, neg_mask, cfg.box_batch_size_per_image)
+    total = min(cfg.box_batch_size_per_image, props.shape[0])
+    idx, is_pos, valid = _masks_to_sorted_indices(pos_mask, neg_mask, total)
 
     boxes = props[idx]
     matched = jnp.clip(matches[idx], 0)
@@ -135,25 +135,62 @@ def fastrcnn_loss(class_logits, box_regression, samples):
     return cls_loss, box_loss
 
 
-def project_masks_on_boxes(gt_masks, boxes, out_size):
-    """Sample gt masks [N, H, W] at roi `boxes` into [N, out, out] targets.
+def project_masks_on_boxes(mask_stack, gt_idx, boxes, out_size):
+    """Sample gt masks at roi boxes into [R, out, out] binary targets.
 
-    torchvision uses roi_align with spatial_scale=1 and adaptive sampling
-    ratio; we use sampling_ratio=2 (static shapes), a sub-pixel difference on
-    binary targets.
+    torchvision projects gt masks with roi_align(spatial_scale=1); here the
+    sample points gather straight out of the per-frame gt mask stack
+    [G, H, W] indexed by each roi's matched gt — no per-roi mask tensor is
+    ever materialized (important: G x canvas is MBs, R x canvas would be GBs).
+    Sampling ratio is fixed at 2 (torchvision uses adaptive; sub-pixel
+    difference on binary targets).
     """
-    def one(m, b):
-        return roi_align(m[:, :, None], b[None], 1.0, output_size=out_size, sampling_ratio=2)[0, :, :, 0]
+    h, w = mask_stack.shape[-2:]
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+    sr = 2
+    s = out_size * sr
+    steps = jnp.arange(s, dtype=jnp.float32) + 0.5
+    ys = y1[:, None] + steps[None, :] * (roi_h / out_size / sr)[:, None]  # [R, S]
+    xs = x1[:, None] + steps[None, :] * (roi_w / out_size / sr)[:, None]
 
-    return jax.vmap(one)(gt_masks, boxes)
+    my = (ys >= -1.0) & (ys <= h)
+    mx = (xs >= -1.0) & (xs <= w)
+    mask_ok = my[:, :, None] & mx[:, None, :]
+    y = jnp.clip(ys, 0.0, h - 1.0)
+    x = jnp.clip(xs, 0.0, w - 1.0)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y1i = jnp.minimum(y0 + 1, h - 1)
+    x1i = jnp.minimum(x0 + 1, w - 1)
+    ly = y - y0
+    lx = x - x0
+
+    g = gt_idx[:, None, None]
+
+    def gat(yi, xi):
+        return mask_stack[g, yi[:, :, None], xi[:, None, :]]
+
+    val = (
+        gat(y0, x0) * ((1 - ly)[:, :, None] * (1 - lx)[:, None, :])
+        + gat(y0, x1i) * ((1 - ly)[:, :, None] * lx[:, None, :])
+        + gat(y1i, x0) * (ly[:, :, None] * (1 - lx)[:, None, :])
+        + gat(y1i, x1i) * (ly[:, :, None] * lx[:, None, :])
+    )
+    val = jnp.where(mask_ok, val, 0.0)
+    r = boxes.shape[0]
+    return val.reshape(r, out_size, sr, out_size, sr).mean(axis=(2, 4))
 
 
-def maskrcnn_loss(mask_logits, mask_rois, gt_masks, labels, valid, out_size):
-    """BCE-with-logits of the gt-class channel vs projected gt masks,
-    mean over all pixels of valid positive rois."""
-    targets = project_masks_on_boxes(gt_masks, mask_rois, out_size)
+def maskrcnn_loss(mask_logits, targets, labels, valid):
+    """BCE-with-logits of the gt-class channel vs projected gt mask targets,
+    mean over all pixels of valid positive rois (torchvision maskrcnn_loss).
+
+    mask_logits: [R, M, M, C]; targets: [R, M, M]; labels/valid: [R]."""
+    m = mask_logits.shape[1]
     sel = jnp.take_along_axis(
-        mask_logits, labels[:, None, None, None].repeat(out_size, 1).repeat(out_size, 2), axis=3
+        mask_logits, labels[:, None, None, None].repeat(m, 1).repeat(m, 2), axis=3
     )[..., 0]
     bce = jnp.maximum(sel, 0) - sel * targets + jnp.log1p(jnp.exp(-jnp.abs(sel)))
     per_roi = bce.mean(axis=(1, 2))

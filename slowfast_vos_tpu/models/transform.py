@@ -77,6 +77,8 @@ class ImageTransform:
         @jax.jit
         def run(images):
             x = images.astype(jnp.float32)
+            if images.dtype == jnp.uint8:
+                x = x / 255.0
             x = (x - mean) / std
             t = x.shape[0]
             x = jax.image.resize(x, (t, rh, rw, 3), method="bilinear")
@@ -85,7 +87,9 @@ class ImageTransform:
         return run
 
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
-        """images: [T, H, W, 3] float in [0, 1] -> [T, Hc, Wc, 3] normalized."""
+        """images: [T, H, W, 3], uint8 or float in [0,1] -> [T, Hc, Wc, 3]
+        normalized. uint8 input is preferred: it quarters host->device
+        transfer volume and the /255 fuses into the normalize on device."""
         return self._jitted(images)
 
     @property

@@ -22,6 +22,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _bilinear_gather(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
@@ -128,23 +129,71 @@ def multiscale_roi_align(
 ) -> jnp.ndarray:
     """Multi-scale RoIAlign over FPN levels with canonical level assignment.
 
-    All rois are pooled on every level and the per-roi result is selected by a
-    one-hot on the assigned level — static shapes, no gathers over levels, and
-    the 4x redundant pooling is cheap relative to keeping shapes dynamic on TPU.
+    TPU formulation: the pyramid is flattened into ONE [sum(H_l*W_l), C]
+    buffer and each roi's bilinear sample indices are offset by its assigned
+    level's base — a single gather pass instead of pooling every roi on every
+    level. All shapes stay static; per-roi level parameters (scale, H, W,
+    base offset) are themselves tiny gathers from constant arrays.
 
     Args:
       feats: list of [H_l, W_l, C] maps, fine-to-coarse (P2..P5).
       rois: [N, 4] XYXY in image coordinates.
       spatial_scales: matching strides reciprocal, e.g. (1/4, 1/8, 1/16, 1/32).
     Returns:
-      [N, output_size, output_size, C].
+      [N, output_size, output_size, C] float32.
     """
-    levels = fpn_level_assignment(rois, num_levels=len(feats))
-    pooled = jnp.stack(
-        [
-            roi_align(f, rois, s, output_size=output_size, sampling_ratio=sampling_ratio)
-            for f, s in zip(feats, spatial_scales)
-        ]
-    )  # [L, N, P, P, C]
-    onehot = jax.nn.one_hot(levels, len(feats), dtype=pooled.dtype)  # [N, L]
-    return jnp.einsum("lnijc,nl->nijc", pooled, onehot)
+    c = feats[0].shape[-1]
+    flat = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
+    hs = jnp.asarray([f.shape[0] for f in feats], jnp.float32)
+    ws = jnp.asarray([f.shape[1] for f in feats], jnp.float32)
+    sizes = [f.shape[0] * f.shape[1] for f in feats]
+    bases = jnp.asarray([0] + list(np.cumsum(sizes)[:-1]), jnp.int32)
+    scales = jnp.asarray(spatial_scales, jnp.float32)
+
+    levels = fpn_level_assignment(rois, num_levels=len(feats))  # [N]
+    r_scale = scales[levels]
+    r_h = hs[levels]
+    r_w = ws[levels]
+    r_base = bases[levels]
+    r_wi = r_w.astype(jnp.int32)
+
+    b = rois.astype(jnp.float32) * r_scale[:, None]
+    x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+
+    sr = sampling_ratio
+    s = output_size * sr
+    steps = jnp.arange(s, dtype=jnp.float32) + 0.5
+    ys = y1[:, None] + steps[None, :] * (roi_h / output_size / sr)[:, None]  # [N,S]
+    xs = x1[:, None] + steps[None, :] * (roi_w / output_size / sr)[:, None]
+
+    my = (ys >= -1.0) & (ys <= r_h[:, None])
+    mx = (xs >= -1.0) & (xs <= r_w[:, None])
+    mask = my[:, :, None] & mx[:, None, :]
+
+    y = jnp.clip(ys, 0.0, r_h[:, None] - 1.0)
+    x = jnp.clip(xs, 0.0, r_w[:, None] - 1.0)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y1i = jnp.minimum(y0 + 1, r_h[:, None].astype(jnp.int32) - 1)
+    x1i = jnp.minimum(x0 + 1, r_w[:, None].astype(jnp.int32) - 1)
+    ly = y - y0.astype(jnp.float32)
+    lx = x - x0.astype(jnp.float32)
+    hy = 1.0 - ly
+    hx = 1.0 - lx
+
+    def g(yi, xi):
+        idx = r_base[:, None, None] + yi[:, :, None] * r_wi[:, None, None] + xi[:, None, :]
+        return flat[idx]  # [N, S, S, C]
+
+    val = (
+        g(y0, x0) * (hy[:, :, None] * hx[:, None, :])[..., None]
+        + g(y0, x1i) * (hy[:, :, None] * lx[:, None, :])[..., None]
+        + g(y1i, x0) * (ly[:, :, None] * hx[:, None, :])[..., None]
+        + g(y1i, x1i) * (ly[:, :, None] * lx[:, None, :])[..., None]
+    )
+    val = jnp.where(mask[..., None], val, 0.0)
+    n = rois.shape[0]
+    out = val.reshape(n, output_size, sr, output_size, sr, c).mean(axis=(2, 4))
+    return out.astype(jnp.float32)

@@ -1,0 +1,118 @@
+"""Unsupervised VOS training driver.
+
+Rebuild of the reference `code/train.py:49-121`: train on DAVIS-2017 train
+sequences, SGD(1e-3, momentum 0.9, wd 1e-4) with effective 2-frame steps,
+per-epoch DAVIS-2016 val evaluation, best/last/resumable checkpoints, scalar
+metrics logging, seed-63-style determinism via explicit jax.random threading.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from slowfast_vos_tpu.data.davis import DavisIndex, load_sequence
+from slowfast_vos_tpu.data.windows import train_windows
+from slowfast_vos_tpu.eval.glue import davis_evaluation
+from slowfast_vos_tpu.models.pipeline import Pipeline, init_variables
+from slowfast_vos_tpu.train.train_step import Trainer, TrainState
+from slowfast_vos_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+from slowfast_vos_tpu.utils.metrics import MetricsLogger
+
+
+def jax_batch(batch: dict):
+    import jax.numpy as jnp
+
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def train_unsupervised(
+    pipe: Pipeline,
+    *,
+    train_root: str,
+    eval_root: str | None = None,
+    output_dir: str = "output",
+    epochs: int = 20,
+    lr: float = 1e-3,
+    seed: int = 63,
+    train_year: str = "2017",
+    eval_year: str = "2016",
+    continue_training: bool = False,
+    eval_every_epoch: bool = True,
+    max_windows_per_epoch: int | None = None,
+    variables: dict | None = None,
+):
+    """Returns (final TrainState, history list of per-epoch dicts)."""
+    os.makedirs(output_dir, exist_ok=True)
+    logger = MetricsLogger(os.path.join(output_dir, "logs"), "train")
+    trainer = Trainer(pipe, lr=lr)
+
+    if variables is None:
+        variables = init_variables(pipe.model, jax.random.PRNGKey(seed))
+    state = trainer.init_state(variables)
+    start_epoch = 0
+
+    last_path = os.path.join(output_dir, "ckpt_last")
+    best_path = os.path.join(output_dir, "ckpt_best")
+    if continue_training and os.path.exists(last_path):
+        state, meta = restore_checkpoint(last_path, target=state)
+        start_epoch = (meta or {}).get("epoch", 0) + 1
+
+    index = DavisIndex(train_root, "train", year=train_year)
+    key = jax.random.PRNGKey(seed)
+    model_name = f"slowfast_{pipe.sf.slow}-{pipe.sf.fast}"
+
+    def run_eval():
+        if not eval_every_epoch or eval_root is None:
+            return None
+        jf, summary, _, wall = davis_evaluation(
+            pipe,
+            trainer.eval_variables(state),
+            davis_root=eval_root,
+            results_root=os.path.join(output_dir, "results"),
+            model_name=model_name,
+            year=eval_year,
+        )
+        return {"jf": jf, "wall": wall, **summary}
+
+    history = []
+    best_jf = -1.0
+    # Sanity eval before training, as the reference does (train.py:95-96).
+    pre = run_eval()
+    if pre is not None:
+        logger.scalar("eval/jf", pre["jf"], step=-1)
+
+    global_step = 0
+    for epoch in range(start_epoch, epochs):
+        epoch_loss = 0.0
+        n_windows = 0
+        for info in index:
+            seq = load_sequence(info, max_gt=pipe.cfg.max_gt)
+            for batch in train_windows(seq, fast=pipe.sf.fast, n_center=trainer.n_center):
+                key, sub = jax.random.split(key)
+                state, metrics = trainer.step(state, sub, jax_batch(batch))
+                loss = float(metrics["loss"])
+                epoch_loss += loss
+                logger.scalar("train/batch_loss", loss, global_step)
+                global_step += 1
+                n_windows += 1
+                if max_windows_per_epoch and n_windows >= max_windows_per_epoch:
+                    break
+            if max_windows_per_epoch and n_windows >= max_windows_per_epoch:
+                break
+
+        logger.scalar("train/epoch_loss", epoch_loss, epoch)
+        ev = run_eval()
+        entry = {"epoch": epoch, "loss": epoch_loss, "eval": ev}
+        history.append(entry)
+        save_checkpoint(last_path, state, meta={"epoch": epoch})
+        if ev is not None:
+            logger.scalars({"jf": ev["jf"], "time": ev["wall"]}, epoch, prefix="eval/")
+            if ev["jf"] > best_jf:
+                best_jf = ev["jf"]
+                save_checkpoint(best_path, state, meta={"epoch": epoch, "jf": ev["jf"]})
+        else:
+            save_checkpoint(best_path, state, meta={"epoch": epoch})
+    logger.close()
+    return state, history

@@ -37,19 +37,25 @@ def test_infer_sequence_shapes(tiny_pipeline):
     pipe, variables = tiny_pipeline
     t = 6  # not a multiple of chunk=4
     rng = np.random.default_rng(0)
-    images = rng.uniform(0, 1, (t, 60, 100, 3)).astype(np.float32)
-    dets = pipe.infer_sequence(variables, images)
+    images = rng.integers(0, 255, (t, 60, 100, 3), dtype=np.uint8)
+    dets = pipe.infer_sequence(variables, images, instance_masks=True)
     assert len(dets) == t
     for d in dets:
         assert d["boxes"].shape == (5, 4)
         assert d["scores"].shape == (5,)
         assert d["masks"].shape == (5, 60, 100)
+        assert d["union_mask"].shape == (60, 100)
         assert np.isfinite(d["boxes"]).all()
         assert np.isfinite(d["masks"]).all()
         assert (d["masks"] >= 0).all() and (d["masks"] <= 1).all()
         # boxes are in ORIGINAL resolution
         assert (d["boxes"][:, [0, 2]] <= 100 + 1e-3).all()
         assert (d["boxes"][:, [1, 3]] <= 60 + 1e-3).all()
+    # union path (default) agrees with instance-mask union
+    dets2 = pipe.infer_sequence(variables, images)
+    for d, d2 in zip(dets, dets2):
+        manual = ((d["masks"] >= 0.5) & d["valid"][:, None, None]).any(0)
+        np.testing.assert_array_equal(manual, d2["union_mask"].astype(bool))
 
 
 def test_transform_geometry(tiny_pipeline):
