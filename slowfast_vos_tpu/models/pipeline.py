@@ -253,11 +253,12 @@ def build_pipeline(
     min_size: int = 800,
     max_size: int = 1333,
     cfg: DetectionConfig | None = None,
+    use_slow_fast: bool = True,
     **kw,
 ) -> tuple[Pipeline, SlowFastMaskRCNN]:
     cfg = cfg or DetectionConfig(num_classes=num_classes)
     sf = SlowFastConfig(slow=slow, fast=fast)
-    model = SlowFastMaskRCNN(cfg=cfg, sf=sf, dtype=dtype)
+    model = SlowFastMaskRCNN(cfg=cfg, sf=sf, dtype=dtype, use_slow_fast=use_slow_fast)
     transform = ImageTransform(original_hw, min_size=min_size, max_size=max_size)
     return Pipeline(model, transform, **kw), model
 

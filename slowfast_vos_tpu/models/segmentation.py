@@ -35,6 +35,9 @@ class SlowFastMaskRCNN(nn.Module):
     cfg: DetectionConfig = DetectionConfig()
     sf: SlowFastConfig = SlowFastConfig()
     dtype: jnp.dtype = jnp.bfloat16
+    # False = plain per-frame Mask R-CNN (the reference's fine-tune path,
+    # `code/maskrcnn/maskrcnn_src.py`): RoI heads consume raw FPN features.
+    use_slow_fast: bool = True
 
     def setup(self):
         self.backbone = ResNet50FPN(dtype=self.dtype)
@@ -53,6 +56,15 @@ class SlowFastMaskRCNN(nn.Module):
     def enhance(self, feats, train: bool = False, pre_padded: bool = False):
         """SlowFast-enhance the 4 RoI levels (the stride-64 'pool' level feeds
         only the RPN and is never consumed by RoI heads, so it is skipped)."""
+        if not self.use_slow_fast:
+            f = self.sf.fast
+            if pre_padded and f > 1:
+                lo = f // 2
+                hi = -(-f // 2) - 1
+                return [
+                    x[lo : x.shape[0] - hi].astype(jnp.float32) for x in feats[:4]
+                ]
+            return [x.astype(jnp.float32) for x in feats[:4]]
         return [self.slow_fast(f, train=train, pre_padded=pre_padded) for f in feats[:4]]
 
     def box_predict(self, pooled):

@@ -71,8 +71,13 @@ class ImageTransform:
     def _jitted(self):
         rh, rw = self.resized_hw
         ch, cw = self.canvas_hw
-        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        # numpy constants: this property may first be touched while an OUTER
+        # jit trace is active, and jnp constants created there would be
+        # tracers leaking into the cached closure.
+        import numpy as np
+
+        mean = np.asarray(IMAGENET_MEAN, np.float32)
+        std = np.asarray(IMAGENET_STD, np.float32)
 
         @jax.jit
         def run(images):

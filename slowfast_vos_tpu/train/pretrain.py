@@ -1,0 +1,131 @@
+"""Mask R-CNN DAVIS fine-tune path (no SlowFast) + RPN proposal extraction.
+
+Rebuild of the reference driver `code/maskrcnn/maskrcnn_src.py:214-285` and
+the relevant vendored-engine behaviors (`code/maskrcnn/engine.py`):
+
+* trains the FULL detector (backbone+RPN+heads) on frame-level DAVIS data,
+  SGD(1e-3, momentum 0.9, wd 5e-4... the reference passes wd=0.0005), StepLR
+  step_size=3 gamma=0.1 for 15 epochs (`maskrcnn_src.py:253-259`);
+* linear LR warmup over the first min(1000, steps-1) iterations of epoch 0
+  (`engine.py:33-38`);
+* abort on non-finite loss (`engine.py:48-51`);
+* `predict_boxes` mode: dump per-frame RPN proposals + scores to an .npz,
+  the equivalent of the monkey-patched `rpn_forward` dump
+  (`engine.py:166-236`, `predicted_proposals_{split}_{year}.pt`).
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+import optax
+
+from slowfast_vos_tpu.data.davis import DavisIndex, load_sequence
+from slowfast_vos_tpu.data.frames import DavisFrameDataset, frame_batches
+from slowfast_vos_tpu.models.pipeline import Pipeline, build_pipeline, init_variables
+from slowfast_vos_tpu.train.train_step import Trainer
+from slowfast_vos_tpu.train.trainer import jax_batch
+from slowfast_vos_tpu.utils.checkpoint import save_checkpoint
+from slowfast_vos_tpu.utils.metrics import MetricsLogger
+
+
+def warmup_step_lr(base_lr: float, steps_per_epoch: int, *, warmup_iters: int,
+                   step_size_epochs: int = 3, gamma: float = 0.1):
+    """Linear warmup (epoch 0) then StepLR every `step_size_epochs` epochs."""
+    warmup_iters = max(warmup_iters, 1)
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        warm = jnp.minimum(step / warmup_iters, 1.0)
+        factor = 1.0 / 1000 + (1 - 1.0 / 1000) * warm  # engine.py warmup_factor
+        epoch = step // steps_per_epoch
+        decay = gamma ** (epoch // step_size_epochs)
+        return base_lr * jnp.where(step < warmup_iters, factor, 1.0) * decay
+
+    return schedule
+
+
+def build_maskrcnn_pipeline(original_hw=(480, 854), **kw):
+    """Single-frame Mask R-CNN: fast=1 (no temporal halo), SlowFast bypassed."""
+    return build_pipeline(slow=1, fast=1, original_hw=original_hw, use_slow_fast=False, **kw)
+
+
+def train_maskrcnn(
+    pipe: Pipeline,
+    *,
+    davis_root: str,
+    output_dir: str,
+    epochs: int = 15,
+    lr: float = 1e-3,
+    weight_decay: float = 5e-4,
+    batch_size: int = 2,
+    year: str = "2017",
+    seed: int = 63,
+    max_steps_per_epoch: int | None = None,
+    variables: dict | None = None,
+):
+    """Returns (TrainState, history). Checkpoints `maskrcnn_model` each epoch
+    (the artifact the SlowFast stage consumes, reference `model.py:173`)."""
+    os.makedirs(output_dir, exist_ok=True)
+    logger = MetricsLogger(os.path.join(output_dir, "logs"), "maskrcnn")
+    dataset = DavisFrameDataset(davis_root, "train", year=year, max_gt=pipe.cfg.max_gt, seed=seed)
+    steps_per_epoch = max_steps_per_epoch or max(len(dataset) // batch_size, 1)
+    schedule = warmup_step_lr(
+        lr, steps_per_epoch, warmup_iters=min(1000, steps_per_epoch - 1) or 1
+    )
+    trainer = Trainer(
+        pipe, lr=schedule, weight_decay=weight_decay,
+        n_center=batch_size, train_backbone=True,
+    )
+    if variables is None:
+        variables = init_variables(pipe.model, jax.random.PRNGKey(seed))
+    state = trainer.init_state(variables)
+
+    key = jax.random.PRNGKey(seed)
+    history = []
+    step = 0
+    for epoch in range(epochs):
+        epoch_loss = 0.0
+        n = 0
+        for batch in frame_batches(dataset, batch_size, seed=seed + epoch):
+            key, sub = jax.random.split(key)
+            state, metrics = trainer.step(state, sub, jax_batch(batch))
+            loss = float(metrics["loss"])
+            if not np.isfinite(loss):
+                raise FloatingPointError(
+                    f"Loss is {loss}, stopping training (non-finite loss abort)"
+                )
+            epoch_loss += loss
+            logger.scalar("pretrain/loss", loss, step)
+            step += 1
+            n += 1
+            if max_steps_per_epoch and n >= max_steps_per_epoch:
+                break
+        history.append({"epoch": epoch, "loss": epoch_loss / max(n, 1)})
+        save_checkpoint(os.path.join(output_dir, "maskrcnn_model"), state, meta={"epoch": epoch})
+    logger.close()
+    return state, history
+
+
+def extract_rpn_proposals(
+    pipe: Pipeline,
+    variables,
+    *,
+    davis_root: str,
+    output_path: str,
+    subset: str = "train",
+    year: str = "2017",
+):
+    """Dump per-frame RPN proposals for every sequence to one .npz — the
+    `predict_boxes` workload (`engine.py:195-236`)."""
+    index = DavisIndex(davis_root, subset, year=year)
+    out = {}
+    for info in index:
+        seq = load_sequence(info, max_gt=pipe.cfg.max_gt)
+        _feats, proposals, pvalid = pipe.compute_sequence_features(variables, seq["images"])
+        out[f"{info.name}/proposals"] = np.asarray(proposals)
+        out[f"{info.name}/valid"] = np.asarray(pvalid)
+    np.savez_compressed(output_path, **out)
+    return output_path

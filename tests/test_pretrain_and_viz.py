@@ -1,0 +1,121 @@
+"""Mask R-CNN fine-tune path (no SlowFast), frame-level data, RPN proposal
+extraction, qualitative eval/overlays, and aspect grouping."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from slowfast_vos_tpu.data.frames import DavisFrameDataset, frame_batches
+from slowfast_vos_tpu.data.grouping import group_by_aspect_ratio, grouped_batches
+from slowfast_vos_tpu.data.synthetic import make_synthetic_davis
+from slowfast_vos_tpu.eval.visualize import evaluate_with_visualization, mask_iou, overlay
+from slowfast_vos_tpu.models.config import DetectionConfig
+from slowfast_vos_tpu.models.pipeline import init_variables
+from slowfast_vos_tpu.train.pretrain import (
+    build_maskrcnn_pipeline,
+    extract_rpn_proposals,
+    train_maskrcnn,
+    warmup_step_lr,
+)
+
+TINY_CFG = DetectionConfig(
+    rpn_pre_nms_top_n_train=64, rpn_post_nms_top_n_train=32,
+    rpn_pre_nms_top_n_test=64, rpn_post_nms_top_n_test=32,
+    box_batch_size_per_image=32, mask_train_rois=8,
+    detections_per_img=5, max_gt=3,
+)
+
+
+@pytest.fixture(scope="module")
+def root(tmp_path_factory):
+    r = str(tmp_path_factory.mktemp("davis17"))
+    make_synthetic_davis(r, num_sequences=2, frames=5, hw=(60, 100), num_objects=2)
+    return r
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    pipe, model = build_maskrcnn_pipeline(
+        original_hw=(60, 100), min_size=64, max_size=128, cfg=TINY_CFG,
+        backbone_batch=4, chunk=4,
+    )
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    return pipe, variables
+
+
+def test_frame_dataset_splits(root):
+    tr = DavisFrameDataset(root, "train", max_gt=3)
+    va = DavisFrameDataset(root, "val", max_gt=3)
+    te = DavisFrameDataset(root, "test", max_gt=3)
+    assert len(tr) + len(va) + len(te) == 10
+    assert len(tr) == 8
+    item = tr[0]
+    assert item["image"].shape == (60, 100, 3)
+    assert item["boxes"].shape == (3, 4)
+    batches = list(frame_batches(tr, 2, seed=1))
+    assert all(b["images"].shape == (2, 60, 100, 3) for b in batches)
+
+
+def test_maskrcnn_train_updates_backbone(root, tiny):
+    pipe, variables = tiny
+    bb_before = np.asarray(
+        jax.tree_util.tree_leaves(variables["params"]["backbone"])[0]
+    ).copy()
+    state, history = train_maskrcnn(
+        pipe, davis_root=root, output_dir="/tmp/mrcnn_test_out",
+        epochs=1, max_steps_per_epoch=2, variables=variables,
+    )
+    assert np.isfinite(history[0]["loss"])
+    bb_after = np.asarray(jax.tree_util.tree_leaves(state.params["backbone"])[0])
+    assert not np.allclose(bb_before, bb_after)  # backbone trains here
+    assert os.path.exists("/tmp/mrcnn_test_out/maskrcnn_model")
+
+
+def test_extract_rpn_proposals(root, tiny, tmp_path):
+    pipe, variables = tiny
+    out = extract_rpn_proposals(
+        pipe, variables, davis_root=root, output_path=str(tmp_path / "props.npz")
+    )
+    data = np.load(out)
+    assert data["synth00/proposals"].shape == (5, 32, 4)
+    assert data["synth00/valid"].shape == (5, 32)
+
+
+def test_warmup_step_lr():
+    sched = warmup_step_lr(1e-3, steps_per_epoch=10, warmup_iters=5)
+    assert float(sched(0)) < 1e-3 / 100
+    assert np.isclose(float(sched(7)), 1e-3)
+    assert np.isclose(float(sched(10 * 3)), 1e-4)  # after 3 epochs: x0.1
+
+
+def test_visualization_eval(root, tiny, tmp_path):
+    pipe, variables = tiny
+    # use the same synthetic tree as a pseudo-2017 val by evaluating train
+    miou = evaluate_with_visualization(
+        pipe, variables, davis_root=root, out_dir=str(tmp_path / "viz"),
+        subset="train", year="2017", sequences=["synth00"], save_all_imgs=True,
+    )
+    assert 0.0 <= miou <= 1.0
+    files = os.listdir(tmp_path / "viz")
+    assert len(files) == 5  # one overlay per frame
+
+
+def test_mask_iou_and_overlay():
+    a = np.zeros((10, 10), bool); a[:5] = True
+    b = np.zeros((10, 10), bool); b[2:7] = True
+    assert np.isclose(mask_iou(a, b), 30 / 70)
+    img = np.zeros((10, 10, 3), np.uint8)
+    out = overlay(img, np.stack([a]), boxes=np.array([[1, 1, 8, 8]]))
+    assert out.shape == (10, 10, 3) and out.max() > 0
+
+
+def test_grouping():
+    sizes = [(100, 100), (100, 200), (200, 100), (100, 210)]
+    groups = group_by_aspect_ratio(sizes, k=3)
+    gid = {i: g for g, idxs in groups.items() for i in idxs}
+    assert gid[1] == gid[3]  # 2.0 and 2.1 quantize together
+    assert gid[0] != gid[1] != gid[2]
+    batches = list(grouped_batches(sizes, 2, shuffle=False))
+    for b in batches:
+        assert len({gid[i] for i in b}) == 1
