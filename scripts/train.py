@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Unsupervised VOS training CLI — the `code/train.py` workload: train the
+SlowFast segmentation model on DAVIS-2017 train, evaluate per epoch on
+DAVIS-2016 val, keep best/last/resume checkpoints."""
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--train-root", required=True, help="DAVIS-2017 root")
+    p.add_argument("--eval-root", default=None, help="DAVIS-2016 root (per-epoch eval)")
+    p.add_argument("--output", default="output/unsupervised")
+    p.add_argument("--slow", type=int, default=3)
+    p.add_argument("--fast", type=int, default=3)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=63)
+    p.add_argument("--original-hw", type=int, nargs=2, default=(480, 854))
+    p.add_argument("--continue-training", action="store_true")
+    p.add_argument("--init-checkpoint", default=None,
+                   help="orbax variables checkpoint or reference .pth to start from")
+    args = p.parse_args()
+
+    import jax
+
+    from slowfast_vos_tpu.models.pipeline import build_pipeline, init_variables
+    from slowfast_vos_tpu.train.trainer import train_unsupervised
+
+    pipe, model = build_pipeline(args.slow, args.fast, tuple(args.original_hw))
+    variables = init_variables(model, jax.random.PRNGKey(args.seed))
+    if args.init_checkpoint:
+        variables = _load_init(args.init_checkpoint, variables)
+
+    _state, history = train_unsupervised(
+        pipe,
+        train_root=args.train_root,
+        eval_root=args.eval_root,
+        output_dir=args.output,
+        epochs=args.epochs,
+        lr=args.lr,
+        seed=args.seed,
+        continue_training=args.continue_training,
+        variables=variables,
+    )
+    for h in history:
+        ev = h["eval"] or {}
+        print(f"epoch {h['epoch']}: loss={h['loss']:.4f} jf={ev.get('jf', float('nan')):.4f}")
+
+
+def _load_init(path: str, variables):
+    if path.endswith(".pth"):
+        import jax.numpy as jnp
+        import jax
+
+        from slowfast_vos_tpu.convert import convert_state_dict, load_torch_checkpoint
+
+        sd = load_torch_checkpoint(path)
+        new_vars, report = convert_state_dict(sd, variables)
+        print(f"converted {report['converted']} tensors from {path}; "
+              f"{len(report['unused_source_keys'])} unused")
+        return jax.tree.map(jnp.asarray, new_vars)
+    from slowfast_vos_tpu.utils.checkpoint import restore_checkpoint
+
+    restored, _ = restore_checkpoint(path, target=variables)
+    return restored
+
+
+if __name__ == "__main__":
+    main()

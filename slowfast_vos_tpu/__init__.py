@@ -21,3 +21,19 @@ Design stance (vs. the PyTorch reference):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: detection graphs are large and this
+# environment compiles via a remote-compile tunnel, so caching compiled
+# executables across processes saves minutes per run. Opt out with
+# SLOWFAST_VOS_NO_COMPILE_CACHE=1.
+if not _os.environ.get("SLOWFAST_VOS_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "SLOWFAST_VOS_COMPILE_CACHE", _os.path.expanduser("~/.cache/slowfast_vos_jax")
+    )
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
