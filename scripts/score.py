@@ -19,6 +19,9 @@ def main():
     p.add_argument("--task", default="unsupervised", choices=["unsupervised", "semi-supervised"])
     p.add_argument("--set", default="val", dest="gt_set")
     p.add_argument("--year", default="2016")
+    p.add_argument("--codalab", action="store_true",
+                   help="also write scores.txt in CodaLab format (the "
+                        "evaluation_codalab.py harness)")
     args = p.parse_args()
 
     from slowfast_vos_tpu.eval.scorer import DavisScorer, summarize
@@ -47,6 +50,11 @@ def main():
             w.writerow(
                 [name, metrics["J"]["M_per_object"][name], metrics["F"]["M_per_object"][name]]
             )
+
+    if args.codalab:
+        with open(os.path.join(args.results_path, "scores.txt"), "w") as f:
+            for k, v in summary.items():
+                f.write(f"{k.replace('&', 'AND').replace('-', '_')}: {v:.6f}\n")
 
     for k, v in summary.items():
         print(f"{k}: {v:.4f}")

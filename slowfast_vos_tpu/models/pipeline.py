@@ -50,7 +50,9 @@ class Pipeline:
         *,
         backbone_batch: int = 8,
         chunk: int = 8,
+        superchunk: int = 32,
     ):
+        self.superchunk = superchunk
         self.model = model
         self.cfg: DetectionConfig = model.cfg
         self.sf: SlowFastConfig = model.sf
@@ -72,6 +74,9 @@ class Pipeline:
         self._detect_chunk = jax.jit(self._detect_chunk_impl)
         self._finalize = jax.jit(self._finalize_impl)
         self._finalize_instances = jax.jit(self._finalize_instances_impl)
+        self._superchunk = jax.jit(
+            self._superchunk_impl, static_argnames=("instance_masks",)
+        )
 
     # ---- jitted stage impls -------------------------------------------------
 
@@ -94,11 +99,15 @@ class Pipeline:
         """
         e, p = proposals.shape[:2]
 
-        pooled7 = jax.vmap(
-            lambda lv0, lv1, lv2, lv3, rois: multiscale_roi_align(
-                [lv0, lv1, lv2, lv3], rois, ROI_SCALES, output_size=7
-            )
-        )(*enhanced, proposals)
+        # Sequential over frames (lax.map, not vmap): the gather temporaries
+        # of RoIAlign scale with frames x rois x bins x channels and OOM HBM
+        # if all frames pool at once; per-frame they are a few hundred MB.
+        pooled7 = jax.lax.map(
+            lambda a: multiscale_roi_align(
+                [a[0], a[1], a[2], a[3]], a[4], ROI_SCALES, output_size=7
+            ),
+            (*enhanced, proposals),
+        )
         cls, reg = self.model.apply(
             variables, pooled7.reshape(e * p, 7, 7, pooled7.shape[-1]), method="box_predict"
         )
@@ -112,11 +121,12 @@ class Pipeline:
         )(cls, reg, proposals, pvalid)
 
         d = boxes.shape[1]
-        pooled14 = jax.vmap(
-            lambda lv0, lv1, lv2, lv3, rois: multiscale_roi_align(
-                [lv0, lv1, lv2, lv3], rois, ROI_SCALES, output_size=self.cfg.mask_roi_size
-            )
-        )(*enhanced, boxes)
+        pooled14 = jax.lax.map(
+            lambda a: multiscale_roi_align(
+                [a[0], a[1], a[2], a[3]], a[4], ROI_SCALES, output_size=self.cfg.mask_roi_size
+            ),
+            (*enhanced, boxes),
+        )
         mask_logits = self.model.apply(
             variables, pooled14.reshape(e * d, *pooled14.shape[2:]), method="mask_predict"
         ).reshape(e, d, self.cfg.mask_out_size, self.cfg.mask_out_size, self.cfg.num_classes)
@@ -155,6 +165,40 @@ class Pipeline:
             lambda m, b, v: paste_masks_in_image(m, b, self.transform.original_hw, v)
         )(mask_probs, orig_boxes, valid)
         return orig_boxes, scores, labels, valid, masks
+
+    def _superchunk_impl(self, variables, images, feat_valid, instance_masks: bool = False):
+        """The WHOLE inference pipeline for one superchunk in ONE compiled
+        graph: transform -> backbone -> RPN -> SlowFast -> RoI heads ->
+        original-resolution finalize.
+
+        One device call per ~`chunk` frames instead of four — essential when
+        the chip sits behind a high-latency tunnel, and lets XLA overlap
+        stages it could never see across separate dispatches.
+
+        images: [SC + F - 1, H0, W0, 3] uint8 (halo frames included; zero +
+        feat_valid=False beyond the sequence ends).
+        """
+        f = self.sf.fast
+        sc = images.shape[0] - (f - 1)
+        canvas = self.transform(images)
+        feats = self.model.apply(variables, canvas, method="backbone_feats")
+        feats = [jnp.where(feat_valid[:, None, None, None], fl, 0.0) for fl in feats]
+
+        center = slice(self.halo_left, self.halo_left + sc)
+        center_feats = [fl[center] for fl in feats]
+        obj, dlt = self.model.apply(variables, center_feats, method="rpn_predict")
+        proposals, _scores, pvalid = filter_proposals(
+            obj, dlt, self.anchors, image_hw=self.image_hw, cfg=self.cfg, training=False
+        )
+
+        enhanced = self.model.apply(
+            variables, feats[:4], method="enhance", train=False, pre_padded=True
+        )
+        boxes, scores, labels, dvalid, mask_probs = self._roi_forward(
+            variables, enhanced, proposals, pvalid
+        )
+        finalize = self._finalize_instances_impl if instance_masks else self._finalize_impl
+        return finalize(boxes, scores, labels, dvalid, mask_probs)
 
     # ---- host drivers -------------------------------------------------------
 
@@ -196,49 +240,53 @@ class Pipeline:
         valid [D], union_mask [H,W] uint8 (union of detections >= 0.5), and —
         only with `instance_masks=True` — masks [D, H, W] probabilities.
         `images` may be uint8 (preferred) or float32 in [0,1].
+
+        The whole pipeline runs as ONE device call per `superchunk` frames
+        (1-3 calls per DAVIS sequence); results stay on device until the end.
         """
         t = images.shape[0]
-        feats_padded, proposals, pvalid = self.compute_sequence_features(variables, images)
-        e = self.chunk
-        halo = self.halo_left + self.halo_right
-        # Round the frame axis up to a chunk multiple so every window slice is
-        # in range — one compiled graph regardless of sequence length.
-        tp = -(-t // e) * e
-        extra = tp - t
-        if extra:
-            feats_padded = [
-                jnp.pad(f, ((0, extra), (0, 0), (0, 0), (0, 0))) for f in feats_padded
-            ]
-            proposals = jnp.pad(proposals, ((0, extra), (0, 0), (0, 0)))
-            pvalid = jnp.pad(pvalid, ((0, extra), (0, 0)))
+        sc = self.superchunk
+        hl, hr = self.halo_left, self.halo_right
+
+        pending = []
+        for c in range(0, t, sc):
+            lo = c - hl
+            hi = c + sc + hr
+            idxs = np.arange(lo, hi)
+            in_range = (idxs >= 0) & (idxs < t)
+            window = images[np.clip(idxs, 0, t - 1)].copy()
+            window[~in_range] = 0
+            pending.append(
+                (
+                    min(sc, t - c),
+                    self._superchunk(
+                        variables,
+                        jnp.asarray(window),
+                        jnp.asarray(in_range),
+                        instance_masks=instance_masks,
+                    ),
+                )
+            )
 
         out: list[dict[str, Any]] = []
-        for c in range(0, t, e):
-            n = min(e, t - c)
-            window = [f[c : c + e + halo] for f in feats_padded]
-            props_c = proposals[c : c + e]
-            pval_c = pvalid[c : c + e]
-            boxes, scores, labels, dvalid, mask_probs = self._detect_chunk(
-                variables, window, props_c, pval_c
-            )
-            finalize = self._finalize_instances if instance_masks else self._finalize
-            fboxes, fscores, flabels, fvalid, fmasks = finalize(
-                boxes, scores, labels, dvalid, mask_probs
+        for n, (fboxes, fscores, flabels, fvalid, fmasks) in pending:
+            fboxes, fscores, flabels, fvalid, fmasks = jax.device_get(
+                (fboxes, fscores, flabels, fvalid, fmasks)
             )
             if instance_masks:
-                union = np.asarray((fmasks >= 0.5) & np.asarray(fvalid)[:, :, None, None]).any(1)
+                union = ((fmasks >= 0.5) & fvalid[:, :, None, None]).any(1)
             else:
-                union = np.asarray(fmasks).astype(bool)
+                union = fmasks.astype(bool)
             for f in range(n):
                 det = {
-                    "boxes": np.asarray(fboxes[f]),
-                    "scores": np.asarray(fscores[f]),
-                    "labels": np.asarray(flabels[f]),
-                    "valid": np.asarray(fvalid[f]),
+                    "boxes": fboxes[f],
+                    "scores": fscores[f],
+                    "labels": flabels[f],
+                    "valid": fvalid[f],
                     "union_mask": union[f],
                 }
                 if instance_masks:
-                    det["masks"] = np.asarray(fmasks[f])
+                    det["masks"] = fmasks[f]
                 out.append(det)
         return out
 

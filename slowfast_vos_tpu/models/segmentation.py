@@ -61,10 +61,8 @@ class SlowFastMaskRCNN(nn.Module):
             if pre_padded and f > 1:
                 lo = f // 2
                 hi = -(-f // 2) - 1
-                return [
-                    x[lo : x.shape[0] - hi].astype(jnp.float32) for x in feats[:4]
-                ]
-            return [x.astype(jnp.float32) for x in feats[:4]]
+                return [x[lo : x.shape[0] - hi] for x in feats[:4]]
+            return list(feats[:4])
         return [self.slow_fast(f, train=train, pre_padded=pre_padded) for f in feats[:4]]
 
     def box_predict(self, pooled):

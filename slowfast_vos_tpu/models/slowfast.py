@@ -138,7 +138,9 @@ class SlowFastTemporal(nn.Module):
         fast_x = self._conv_bn(fast_x, 32, kf3, "fast3", train)
 
         out = jnp.concatenate([slow_x, fast_x], axis=-1)[0]  # [T, H, W, 256]
-        return out.astype(jnp.float32)
+        # Keep the compute dtype (bf16 in production): at DAVIS resolution the
+        # enhanced pyramid is GBs per superchunk in f32.
+        return out.astype(self.dtype)
 
 
 def enhance_fpn_levels(module_apply, feats: Sequence[jnp.ndarray]) -> list[jnp.ndarray]:

@@ -178,10 +178,14 @@ def multiscale_roi_align(
     x0 = jnp.floor(x).astype(jnp.int32)
     y1i = jnp.minimum(y0 + 1, r_h[:, None].astype(jnp.int32) - 1)
     x1i = jnp.minimum(x0 + 1, r_w[:, None].astype(jnp.int32) - 1)
-    ly = y - y0.astype(jnp.float32)
-    lx = x - x0.astype(jnp.float32)
-    hy = 1.0 - ly
-    hx = 1.0 - lx
+    # Interpolation weights in the FEATURE dtype: gathered bf16 values times
+    # f32 weights would upcast the [N,S,S,C] temporaries to f32 and double
+    # the dominant memory term of the whole detection graph.
+    wdt = flat.dtype if jnp.issubdtype(flat.dtype, jnp.floating) else jnp.float32
+    ly = (y - y0.astype(jnp.float32)).astype(wdt)
+    lx = (x - x0.astype(jnp.float32)).astype(wdt)
+    hy = 1 - ly
+    hx = 1 - lx
 
     def g(yi, xi):
         idx = r_base[:, None, None] + yi[:, :, None] * r_wi[:, None, None] + xi[:, None, :]
@@ -193,7 +197,9 @@ def multiscale_roi_align(
         + g(y1i, x0) * (ly[:, :, None] * hx[:, None, :])[..., None]
         + g(y1i, x1i) * (ly[:, :, None] * lx[:, None, :])[..., None]
     )
-    val = jnp.where(mask[..., None], val, 0.0)
+    val = jnp.where(mask[..., None], val, 0.0).astype(jnp.float32)
     n = rois.shape[0]
     out = val.reshape(n, output_size, sr, output_size, sr, c).mean(axis=(2, 4))
-    return out.astype(jnp.float32)
+    # Preserve the feature dtype (bf16 in production keeps the [N*P,7,7,C]
+    # pooled buffer half the size; f32 inputs keep exact-parity tests exact).
+    return out.astype(feats[0].dtype)

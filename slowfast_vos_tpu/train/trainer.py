@@ -93,6 +93,10 @@ def train_unsupervised(
                 key, sub = jax.random.split(key)
                 state, metrics = trainer.step(state, sub, jax_batch(batch))
                 loss = float(metrics["loss"])
+                if not np.isfinite(loss):
+                    # Vendored-engine behavior: abort rather than training on
+                    # (engine.py:48-51).
+                    raise FloatingPointError(f"Loss is {loss}, stopping training")
                 epoch_loss += loss
                 logger.scalar("train/batch_loss", loss, global_step)
                 global_step += 1

@@ -70,3 +70,58 @@ def test_transform_geometry(tiny_pipeline):
     fwd = tr.transform_boxes(boxes)
     back = tr.inverse_boxes(fwd)
     np.testing.assert_allclose(np.asarray(back), np.asarray(boxes), rtol=1e-5)
+
+
+def test_superchunk_matches_staged_path():
+    """The fused one-call superchunk graph must reproduce the staged
+    (backbone->detect_chunk->finalize) path. Run in f32: with random weights
+    the 1000 proposal scores cluster so tightly that bf16 batch-size rounding
+    legitimately reorders winners."""
+    import jax
+    import jax.numpy as jnp
+
+    pipe, model = build_pipeline(
+        slow=1, fast=3, original_hw=(60, 100), min_size=64, max_size=128,
+        cfg=TINY_CFG, backbone_batch=4, chunk=4, dtype=jnp.float32,
+    )
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    t = 5
+    images = rng.integers(0, 255, (t, 60, 100, 3), dtype=np.uint8)
+
+    fused = pipe.infer_sequence(variables, images)
+
+    # staged path: reuse the retained stage functions
+    feats_padded, proposals, pvalid = pipe.compute_sequence_features(variables, images)
+    e = pipe.chunk
+    halo = pipe.halo_left + pipe.halo_right
+    tp = -(-t // e) * e
+    extra = tp - t
+    feats_padded = [jnp.pad(f, ((0, extra), (0, 0), (0, 0), (0, 0))) for f in feats_padded]
+    proposals = jnp.pad(proposals, ((0, extra), (0, 0), (0, 0)))
+    pvalid = jnp.pad(pvalid, ((0, extra), (0, 0)))
+    idx = 0
+    for c in range(0, t, e):
+        window = [f[c : c + e + halo] for f in feats_padded]
+        boxes, scores, labels, valid, _m = pipe._detect_chunk(
+            variables, window, proposals[c : c + e], pvalid[c : c + e]
+        )
+        for f in range(min(e, t - c)):
+            # bf16 conv rounding differs with backbone batch size (7-frame
+            # fused window vs padded-8 staged batches), so coordinates drift
+            # sub-pixel and low-score slots reorder near ties. Structural
+            # equivalence = top detection overlaps almost perfectly and has
+            # nearly the same score.
+            a = fused[idx]["boxes"][0]
+            b = np.asarray(pipe.transform.inverse_boxes(boxes[f]))[0]
+            lt = np.maximum(a[:2], b[:2])
+            rb = np.minimum(a[2:], b[2:])
+            inter = np.prod(np.clip(rb - lt, 0, None))
+            area = lambda x: max((x[2] - x[0]) * (x[3] - x[1]), 1e-6)
+            iou = inter / (area(a) + area(b) - inter)
+            assert iou > 0.9, f"frame {idx}: top-box IoU {iou:.3f} ({a} vs {b})"
+            np.testing.assert_allclose(
+                fused[idx]["scores"][0], np.asarray(scores[f])[0], atol=5e-3
+            )
+            np.testing.assert_array_equal(fused[idx]["valid"], np.asarray(valid[f]))
+            idx += 1
