@@ -1,0 +1,178 @@
+"""Pallas TPU kernel for multi-scale RoIAlign.
+
+The BASELINE.json north star names this kernel: RoIAlign is the detection
+stack's hottest irregular op (the reference rides torchvision's CUDA kernel,
+SURVEY.md §2b). Design, following the TPU kernel playbook:
+
+* grid = one program per roi; the roi's box, FPN level and patch origin are
+  SCALAR-PREFETCHED so the kernel can start its DMA before the body runs;
+* each program async-copies one fixed-size feature PATCH (PH x PW x C) from
+  the roi's assigned pyramid level in HBM into VMEM — contiguous row
+  segments, not per-sample random gathers;
+* the pooled 7x7 (or 14x14) output is computed as two separable
+  interpolation matmuls A_y @ patch @ A_x^T on the MXU, with the A matrices
+  built in-register from iota comparisons (weights already average the
+  `sampling_ratio` taps per bin and zero out-of-range samples);
+* patch origin is clamped so the entire (clamped) sample range lies inside
+  the patch for every roi the FPN level mapper can emit at DAVIS scales
+  (canonical assignment bounds roi extent to < 48 feature px except for
+  aspect ratios beyond ~5:1, whose tail samples clamp to the patch edge).
+
+Exposed as `multiscale_roi_align_pallas` with the same API/semantics as
+`ops/roi_align.py`; parity is tested in interpret mode on CPU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from slowfast_vos_tpu.ops.roi_align import fpn_level_assignment
+
+PATCH = 48  # feature-pixel patch side; covers canonical-level roi extents
+
+
+def _build_interp(start, bin_size, extent, origin, out_size: int, sr: int, patch: int):
+    """A [out_size, patch]: weights of patch row k for each output bin,
+    averaging the sr taps, honoring the torchvision border rules, in
+    patch-relative coordinates."""
+    s = out_size * sr
+    # TPU iota is integer-only; cast after.
+    steps = jax.lax.broadcasted_iota(jnp.int32, (s, patch), 0).astype(jnp.float32) + 0.5
+    coords = start + steps * (bin_size / sr)  # absolute continuous coords
+    in_range = (coords >= -1.0) & (coords <= extent)
+    c = jnp.clip(coords, 0.0, extent - 1.0) - origin  # patch-relative
+    c = jnp.clip(c, 0.0, patch - 1.0)  # extreme-aspect tail clamp
+    c0 = jnp.floor(c)
+    frac = c - c0
+    k = jax.lax.broadcasted_iota(jnp.int32, (s, patch), 1).astype(jnp.float32)
+    a = (k == c0) * (1.0 - frac) + (k == jnp.minimum(c0 + 1.0, patch - 1.0)) * frac
+    a = a * in_range
+    # average sr taps per bin: [S, patch] -> [out, patch]
+    return a.reshape(out_size, sr, patch).sum(axis=1) / sr
+
+
+def _kernel(
+    iparams_ref,  # SMEM int32 [N, 4]: level, py, px, _
+    fparams_ref,  # SMEM float32 [N, 8]: y1, x1, bin_h, bin_w, h, w, _, _
+    f0, f1, f2, f3,  # HBM level features [H_l, W_l, C]
+    out_ref,  # VMEM [1, out, out, C]
+    patch_ref,  # VMEM scratch [PATCH, PATCH, C]
+    sem,  # DMA semaphore
+    *,
+    out_size: int,
+    sr: int,
+):
+    r = pl.program_id(0)
+    level = iparams_ref[r, 0]
+    py = iparams_ref[r, 1]
+    px = iparams_ref[r, 2]
+
+    # DMA the roi's patch from its assigned level.
+    for li, src in enumerate((f0, f1, f2, f3)):
+        @pl.when(level == li)
+        def _():
+            cp = pltpu.make_async_copy(
+                src.at[pl.ds(py, PATCH), pl.ds(px, PATCH), :],
+                patch_ref,
+                sem,
+            )
+            cp.start()
+            cp.wait()
+
+    y1 = fparams_ref[r, 0]
+    x1 = fparams_ref[r, 1]
+    bin_h = fparams_ref[r, 2]
+    bin_w = fparams_ref[r, 3]
+    h = fparams_ref[r, 4]
+    w = fparams_ref[r, 5]
+
+    a_y = _build_interp(y1, bin_h, h, py.astype(jnp.float32), out_size, sr, PATCH)
+    a_x = _build_interp(x1, bin_w, w, px.astype(jnp.float32), out_size, sr, PATCH)
+
+    c = patch_ref.shape[-1]
+    patch = patch_ref[:].astype(jnp.float32)
+    # tmp[p, w*c] = A_y @ patch
+    tmp = jnp.dot(a_y, patch.reshape(PATCH, PATCH * c), preferred_element_type=jnp.float32)
+    tmp = tmp.reshape(out_size, PATCH, c)
+    # out[p, q, c] = sum_w a_x[q, w] tmp[p, w, c]
+    out = jax.lax.dot_general(
+        a_x, tmp, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [q, p, c]
+    out_ref[0] = jnp.transpose(out, (1, 0, 2)).astype(out_ref.dtype)
+
+
+def multiscale_roi_align_pallas(
+    feats: Sequence[jnp.ndarray],
+    rois: jnp.ndarray,
+    spatial_scales: Sequence[float],
+    *,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Same API/semantics as `multiscale_roi_align` (torchvision aligned=False)."""
+    n = rois.shape[0]
+    c = feats[0].shape[-1]
+    levels = fpn_level_assignment(rois, num_levels=len(feats))
+
+    hs = jnp.asarray([f.shape[0] for f in feats], jnp.float32)[levels]
+    ws = jnp.asarray([f.shape[1] for f in feats], jnp.float32)[levels]
+    scales = jnp.asarray(spatial_scales, jnp.float32)[levels]
+
+    b = rois.astype(jnp.float32) * scales[:, None]
+    x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    bin_w = jnp.maximum(x2 - x1, 1.0) / output_size
+    bin_h = jnp.maximum(y2 - y1, 1.0) / output_size
+
+    # Patch origin: one pixel of slack before the first (clamped) sample,
+    # clamped so the patch stays in bounds. Levels smaller than PATCH clamp
+    # to origin 0 (the DMA may read out of the level's rows; values beyond
+    # the extent are masked to zero weight by `in_range`, so content is
+    # irrelevant — but the copy must stay legal, hence the max(extent-PATCH,
+    # 0) clamp plus PATCH-padding of small levels done below).
+    py = jnp.clip(jnp.floor(jnp.clip(y1, 0.0, None)) - 1, 0, jnp.maximum(hs - PATCH, 0)).astype(jnp.int32)
+    px = jnp.clip(jnp.floor(jnp.clip(x1, 0.0, None)) - 1, 0, jnp.maximum(ws - PATCH, 0)).astype(jnp.int32)
+
+    iparams = jnp.stack([levels, py, px, jnp.zeros_like(levels)], axis=1)
+    fparams = jnp.stack(
+        [y1, x1, bin_h, bin_w, hs, ws, jnp.zeros_like(y1), jnp.zeros_like(y1)], axis=1
+    )
+
+    # Pad small pyramid levels so a PATCH x PATCH copy is always legal.
+    dtype = feats[0].dtype
+    padded_feats = [
+        jnp.pad(
+            f,
+            ((0, max(PATCH - f.shape[0], 0)), (0, max(PATCH - f.shape[1], 0)), (0, 0)),
+        )
+        for f in feats
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=pl.BlockSpec(
+            (1, output_size, output_size, c),
+            lambda r, *_: (r, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((PATCH, PATCH, c), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    return pl.pallas_call(
+        functools.partial(_kernel, out_size=output_size, sr=sampling_ratio),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, output_size, output_size, c), dtype),
+        interpret=interpret,
+    )(iparams, fparams, *padded_feats)
