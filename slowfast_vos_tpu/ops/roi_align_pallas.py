@@ -34,7 +34,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from slowfast_vos_tpu.ops.roi_align import fpn_level_assignment
 
-PATCH = 48  # feature-pixel patch side; covers canonical-level roi extents
+# Feature-pixel patch side: covers the canonical-level roi extents (<= ~44 px
+# at any level for DAVIS-scale canvases) plus the up-to-7px origin alignment
+# slack. Multiple of 8 (sublane tiling).
+PATCH = 56
 
 
 def _build_interp(start, bin_size, extent, origin, out_size: int, sr: int, patch: int):
@@ -70,8 +73,8 @@ def _kernel(
 ):
     r = pl.program_id(0)
     level = iparams_ref[r, 0]
-    py = iparams_ref[r, 1]
-    px = iparams_ref[r, 2]
+    py = pl.multiple_of(iparams_ref[r, 1], 8)
+    px = pl.multiple_of(iparams_ref[r, 2], 8)
 
     # DMA the roi's patch from its assigned level.
     for li, src in enumerate((f0, f1, f2, f3)):
@@ -124,6 +127,12 @@ def multiscale_roi_align_pallas(
 
     hs = jnp.asarray([f.shape[0] for f in feats], jnp.float32)[levels]
     ws = jnp.asarray([f.shape[1] for f in feats], jnp.float32)[levels]
+    # Padded level extents: multiples of 8 and >= PATCH, so that the maximum
+    # patch origin (extent - PATCH) is itself 8-aligned and an aligned origin
+    # always covers the level's right/bottom edge.
+    rup = lambda v: -(-max(v, PATCH) // 8) * 8
+    hs_pad = jnp.asarray([rup(f.shape[0]) for f in feats], jnp.float32)[levels]
+    ws_pad = jnp.asarray([rup(f.shape[1]) for f in feats], jnp.float32)[levels]
     scales = jnp.asarray(spatial_scales, jnp.float32)[levels]
 
     b = rois.astype(jnp.float32) * scales[:, None]
@@ -137,20 +146,25 @@ def multiscale_roi_align_pallas(
     # the extent are masked to zero weight by `in_range`, so content is
     # irrelevant — but the copy must stay legal, hence the max(extent-PATCH,
     # 0) clamp plus PATCH-padding of small levels done below).
-    py = jnp.clip(jnp.floor(jnp.clip(y1, 0.0, None)) - 1, 0, jnp.maximum(hs - PATCH, 0)).astype(jnp.int32)
-    px = jnp.clip(jnp.floor(jnp.clip(x1, 0.0, None)) - 1, 0, jnp.maximum(ws - PATCH, 0)).astype(jnp.int32)
+    # Mosaic requires HBM slice origins aligned to the sublane tiling (8);
+    # rounding DOWN only widens the left slack, and the padded-extent clamp
+    # keeps alignment while guaranteeing right/bottom-edge coverage.
+    py = jnp.clip(jnp.floor(jnp.clip(y1, 0.0, None)) - 1, 0, hs_pad - PATCH).astype(jnp.int32)
+    px = jnp.clip(jnp.floor(jnp.clip(x1, 0.0, None)) - 1, 0, ws_pad - PATCH).astype(jnp.int32)
+    py = (py // 8) * 8
+    px = (px // 8) * 8
 
     iparams = jnp.stack([levels, py, px, jnp.zeros_like(levels)], axis=1)
     fparams = jnp.stack(
         [y1, x1, bin_h, bin_w, hs, ws, jnp.zeros_like(y1), jnp.zeros_like(y1)], axis=1
     )
 
-    # Pad small pyramid levels so a PATCH x PATCH copy is always legal.
+    # Pad pyramid levels to the aligned extents so every PATCH copy is legal.
     dtype = feats[0].dtype
     padded_feats = [
         jnp.pad(
             f,
-            ((0, max(PATCH - f.shape[0], 0)), (0, max(PATCH - f.shape[1], 0)), (0, 0)),
+            ((0, rup(f.shape[0]) - f.shape[0]), (0, rup(f.shape[1]) - f.shape[1]), (0, 0)),
         )
         for f in feats
     ]
