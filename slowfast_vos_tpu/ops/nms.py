@@ -118,7 +118,12 @@ def batched_nms_mask(
 
 def top_k_after_nms(keep, order, scores, k):
     """Static top-k of kept entries, score-descending. Returns (indices [k],
-    valid [k]) into the original index space; invalid slots point at index 0."""
+    valid [k]) into the original index space; invalid slots point at index 0.
+    If fewer than k candidates exist, trailing slots are invalid."""
     eff = jnp.where(keep, scores, NEG_INF)
-    top_scores, top_idx = jax.lax.top_k(eff, k)
+    kk = min(k, eff.shape[0])
+    top_scores, top_idx = jax.lax.top_k(eff, kk)
+    if kk < k:
+        top_idx = jnp.concatenate([top_idx, jnp.zeros((k - kk,), top_idx.dtype)])
+        top_scores = jnp.concatenate([top_scores, jnp.full((k - kk,), NEG_INF)])
     return top_idx, top_scores > NEG_INF / 2
