@@ -19,7 +19,20 @@ SURVEY.md §2b). Design, following the TPU kernel playbook:
   aspect ratios beyond ~5:1, whose tail samples clamp to the patch edge).
 
 Exposed as `multiscale_roi_align_pallas` with the same API/semantics as
-`ops/roi_align.py`; parity is tested in interpret mode on CPU.
+`ops/roi_align.py`; parity is tested in interpret mode on CPU and verified on
+hardware (sub-1e-2 vs the gather form at f32, MXU rounding).
+
+Measured status (v5e, 1000 rois, DAVIS pyramid): ~33 ms — on par with the
+gather formulation, limited by per-grid-step overhead (~30 us x 1000
+programs), not DMA (double buffering is implemented and did not move the
+number). The known next step is batching B rois per program with per-level
+patch sizes (P3-P5 fit VMEM whole), but pooling is only ~17% of device time
+for the full pipeline, so the gather form remains the default.
+
+Caveat: rois wider than PATCH-8 feature pixels at their assigned level
+(aspect ratios beyond ~5:1 at the level-mapper's size cap) have their tail
+samples clamped to the patch edge — a documented approximation the exact
+gather form does not share.
 """
 from __future__ import annotations
 
@@ -65,29 +78,53 @@ def _kernel(
     fparams_ref,  # SMEM float32 [N, 8]: y1, x1, bin_h, bin_w, h, w, _, _
     f0, f1, f2, f3,  # HBM level features [H_l, W_l, C]
     out_ref,  # VMEM [1, out, out, C]
-    patch_ref,  # VMEM scratch [PATCH, PATCH, C]
-    sem,  # DMA semaphore
+    patch_ref,  # VMEM scratch [2, PATCH, PATCH, C] (double buffer)
+    sem,  # DMA semaphores [2]
     *,
     out_size: int,
     sr: int,
 ):
     r = pl.program_id(0)
-    level = iparams_ref[r, 0]
+    n = pl.num_programs(0)
+    levels = (f0, f1, f2, f3)
+
+    def dma(ri, slot):
+        """Copy descriptor for roi `ri` into buffer `slot` (level-branched)."""
+        lv = iparams_ref[ri, 0]
+        py = pl.multiple_of(iparams_ref[ri, 1], 8)
+        px = pl.multiple_of(iparams_ref[ri, 2], 8)
+        for li, src in enumerate(levels):
+            @pl.when(lv == li)
+            def _():
+                yield_cp = pltpu.make_async_copy(
+                    src.at[pl.ds(py, PATCH), pl.ds(px, PATCH), :],
+                    patch_ref.at[slot],
+                    sem.at[slot],
+                )
+                yield_cp.start()
+
+    def wait(slot):
+        # All level sources copy the same PATCH x PATCH x C extent, so the
+        # wait (a semaphore wait of the transfer size) is level-independent.
+        pltpu.make_async_copy(
+            f0.at[pl.ds(0, PATCH), pl.ds(0, PATCH), :], patch_ref.at[slot], sem.at[slot]
+        ).wait()
+
+    slot = jax.lax.rem(r, 2)
+    # Warm-up: program 0 issues its own DMA; every program prefetches r+1.
+    @pl.when(r == 0)
+    def _():
+        dma(0, 0)
+
+    @pl.when(r + 1 < n)
+    def _():
+        dma(r + 1, jax.lax.rem(r + 1, 2))
+
+    wait(slot)
+    patch_slot = patch_ref.at[slot]
+
     py = pl.multiple_of(iparams_ref[r, 1], 8)
     px = pl.multiple_of(iparams_ref[r, 2], 8)
-
-    # DMA the roi's patch from its assigned level.
-    for li, src in enumerate((f0, f1, f2, f3)):
-        @pl.when(level == li)
-        def _():
-            cp = pltpu.make_async_copy(
-                src.at[pl.ds(py, PATCH), pl.ds(px, PATCH), :],
-                patch_ref,
-                sem,
-            )
-            cp.start()
-            cp.wait()
-
     y1 = fparams_ref[r, 0]
     x1 = fparams_ref[r, 1]
     bin_h = fparams_ref[r, 2]
@@ -99,7 +136,7 @@ def _kernel(
     a_x = _build_interp(x1, bin_w, w, px.astype(jnp.float32), out_size, sr, PATCH)
 
     c = patch_ref.shape[-1]
-    patch = patch_ref[:].astype(jnp.float32)
+    patch = patch_slot[:].astype(jnp.float32)
     # tmp[p, w*c] = A_y @ patch
     tmp = jnp.dot(a_y, patch.reshape(PATCH, PATCH * c), preferred_element_type=jnp.float32)
     tmp = tmp.reshape(out_size, PATCH, c)
@@ -179,8 +216,8 @@ def multiscale_roi_align_pallas(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((PATCH, PATCH, c), dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, PATCH, PATCH, c), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
