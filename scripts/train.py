@@ -63,10 +63,19 @@ def _load_init(path: str, variables):
         print(f"converted {report['converted']} tensors from {path}; "
               f"{len(report['unused_source_keys'])} unused")
         return jax.tree.map(jnp.asarray, new_vars)
-    from slowfast_vos_tpu.utils.checkpoint import restore_checkpoint
+    # Orbax checkpoints: structure-agnostic restore (accepts both TrainState
+    # and raw-variables layouts, ignores optimizer state). Missing subtrees
+    # (e.g. slow_fast when seeding from a maskrcnn pretrain) keep their init.
+    from slowfast_vos_tpu.utils.checkpoint import load_variables
 
-    restored, _ = restore_checkpoint(path, target=variables)
-    return restored
+    loaded = load_variables(path)
+    params = dict(variables["params"])
+    for k in params:
+        if k in loaded["params"]:
+            params[k] = loaded["params"][k]
+    stats = dict(variables.get("batch_stats", {}))
+    stats.update(loaded.get("batch_stats", {}))
+    return {"params": params, "batch_stats": stats}
 
 
 if __name__ == "__main__":

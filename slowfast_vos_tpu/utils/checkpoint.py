@@ -23,6 +23,21 @@ def save_checkpoint(path: str, state, meta: dict | None = None):
             json.dump(meta, f)
 
 
+def load_variables(path: str) -> dict:
+    """Restore a checkpoint WITHOUT a structural target and extract model
+    variables {params, batch_stats} — works for both TrainState checkpoints
+    (params+frozen merged, optimizer state ignored) and raw variables dicts.
+    Use this to hand weights between stages with different optimizers
+    (e.g. maskrcnn pretrain -> SlowFast training -> OSVOS)."""
+    raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    if "params" in raw and "frozen" in raw:  # TrainState layout
+        params = {**raw["params"], **raw["frozen"]}
+        return {"params": params, "batch_stats": raw.get("batch_stats", {}) or {}}
+    if "params" in raw:  # variables layout
+        return {"params": raw["params"], "batch_stats": raw.get("batch_stats", {}) or {}}
+    raise ValueError(f"unrecognized checkpoint structure at {path}: {list(raw)}")
+
+
 def restore_checkpoint(path: str, target=None):
     """Restore a pytree; `target` (same structure) restores concrete dtypes/
     shardings. Returns (state, meta|None)."""

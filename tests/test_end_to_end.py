@@ -104,3 +104,31 @@ def test_checkpoint_roundtrip_plain(tmp_path, tiny):
     assert meta["tag"] == "test"
     for a, b in zip(jax.tree_util.tree_leaves(variables), jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_variables_interop(tmp_path, tiny):
+    """Checkpoints hand off between stages with different optimizers: both
+    TrainState and raw-variables layouts load via utils.checkpoint.load_variables."""
+    from slowfast_vos_tpu.train import Trainer
+    from slowfast_vos_tpu.utils.checkpoint import load_variables
+
+    pipe, variables = tiny
+    # raw variables layout
+    p1 = str(tmp_path / "vars_ck")
+    save_checkpoint(p1, variables)
+    lv = load_variables(p1)
+    a = jax.tree_util.tree_leaves(variables["params"])[0]
+    b = jax.tree_util.tree_leaves(lv["params"])[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # TrainState layout (trainable/frozen split must merge back)
+    trainer = Trainer(pipe, lr=0.01)
+    state = trainer.init_state(variables)
+    p2 = str(tmp_path / "state_ck")
+    save_checkpoint(p2, state)
+    lv2 = load_variables(p2)
+    assert set(lv2["params"]) == set(variables["params"])
+    for k in variables["params"]:
+        xa = jax.tree_util.tree_leaves(variables["params"][k])[0]
+        xb = jax.tree_util.tree_leaves(lv2["params"][k])[0]
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
