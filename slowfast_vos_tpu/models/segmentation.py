@@ -38,9 +38,12 @@ class SlowFastMaskRCNN(nn.Module):
     # False = plain per-frame Mask R-CNN (the reference's fine-tune path,
     # `code/maskrcnn/maskrcnn_src.py`): RoI heads consume raw FPN features.
     use_slow_fast: bool = True
+    # Space-to-depth stem (see models/resnet_fpn.py); disable for strict
+    # parameter-layout parity with torchvision.
+    s2d_stem: bool = True
 
     def setup(self):
-        self.backbone = ResNet50FPN(dtype=self.dtype)
+        self.backbone = ResNet50FPN(dtype=self.dtype, s2d_stem=self.s2d_stem)
         self.rpn = RPNHead(dtype=self.dtype)
         self.slow_fast = SlowFastTemporal(slow=self.sf.slow, fast=self.sf.fast, dtype=self.dtype)
         self.box_head = BoxHead(num_classes=self.cfg.num_classes, dtype=self.dtype)

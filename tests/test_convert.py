@@ -145,9 +145,10 @@ def _fake_torchvision_state_dict(variables):
     def inv_conv(k):
         return rand(np.transpose(k, (3, 2, 0, 1)).shape)
 
-    # backbone body
+    # backbone body (conv1 source is always the torchvision [64,3,7,7] stem,
+    # regardless of whether the target uses the space-to-depth layout)
     body = params["backbone"]["body"]
-    sd["backbone.body.conv1.weight"] = inv_conv(body["conv1"]["kernel"])
+    sd["backbone.body.conv1.weight"] = rand((64, 3, 7, 7))
     for sfx, tgt in [("weight", "scale"), ("bias", "bias"), ("running_mean", "mean"), ("running_var", "var")]:
         sd[f"backbone.body.bn1.{sfx}"] = (randvar if sfx == "running_var" else rand)(body["bn1"][tgt].shape)
     for name, sub in body.items():

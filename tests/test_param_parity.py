@@ -48,8 +48,12 @@ def count_params_excluding_frozen_bn(params):
 
 @pytest.mark.parametrize("slow,fast", list(REFERENCE_COUNTS))
 def test_param_count_matches_reference(slow, fast):
+    # s2d_stem=False: the space-to-depth stem re-parameterizes conv1 with
+    # padded taps (192 vs 49) while computing the identical function; strict
+    # count parity holds for the torchvision-layout stem.
     pipe, model = build_pipeline(
-        slow=slow, fast=fast, original_hw=(60, 100), min_size=64, max_size=128
+        slow=slow, fast=fast, original_hw=(60, 100), min_size=64, max_size=128,
+        s2d_stem=False,
     )
     variables = init_variables(model, jax.random.PRNGKey(0))
     n = count_params_excluding_frozen_bn(variables["params"])

@@ -1,0 +1,51 @@
+"""The space-to-depth stem must be EXACTLY equivalent to the standard
+7x7/stride-2 stem under the kernel remapping."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from slowfast_vos_tpu.models.resnet_fpn import (
+    ResNet50,
+    space_to_depth,
+    stem_kernel_to_s2d,
+)
+
+
+def test_s2d_matches_standard_conv():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 32, 48, 3)).astype(np.float32))
+    w7 = rng.normal(size=(7, 7, 3, 8)).astype(np.float32)
+
+    std = jax.lax.conv_general_dilated(
+        x, jnp.asarray(w7), window_strides=(2, 2), padding=[(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = space_to_depth(x, 2)
+    s2d = jax.lax.conv_general_dilated(
+        y, jnp.asarray(stem_kernel_to_s2d(w7)), window_strides=(1, 1),
+        padding=[(2, 1), (2, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    assert s2d.shape == std.shape
+    np.testing.assert_allclose(np.asarray(s2d), np.asarray(std), atol=1e-4)
+
+
+def test_resnet_s2d_vs_standard_stem_outputs():
+    """Full ResNet: s2d model with remapped conv1 == standard model."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+
+    std = ResNet50(dtype=jnp.float32, s2d_stem=False)
+    vstd = std.init(jax.random.PRNGKey(0), x)
+    s2d = ResNet50(dtype=jnp.float32, s2d_stem=True)
+    vs2d = s2d.init(jax.random.PRNGKey(0), x)
+
+    # copy all params; remap conv1
+    import copy
+
+    p = copy.deepcopy(jax.tree.map(np.asarray, vstd["params"]))
+    p["conv1"] = {"kernel": stem_kernel_to_s2d(p["conv1"]["kernel"])}
+    out_std = std.apply(vstd, x)
+    out_s2d = s2d.apply({"params": p}, x)
+    for a, b in zip(out_std, out_s2d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
