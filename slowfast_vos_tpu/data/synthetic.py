@@ -12,7 +12,7 @@ import os
 import numpy as np
 from PIL import Image
 
-from slowfast_vos_tpu.data.davis import DAVIS_PALETTE, save_palette_mask
+from slowfast_vos_tpu.data.davis import save_palette_mask
 
 
 def _draw_sequence(rng, t, h, w, num_objects):

@@ -38,6 +38,27 @@ class BoxHead(nn.Module):
         return cls.astype(jnp.float32), reg.astype(jnp.float32).reshape(-1, self.num_classes, 4)
 
 
+class _DeconvMM(nn.Module):
+    """2x2/stride-2 transposed conv with nn.ConvTranspose's parameter layout
+    but the matmul+depth-to-space compute path of `ops/deconv.py`."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from slowfast_vos_tpu.ops.deconv import deconv2x2_stride2
+
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (2, 2, c, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return deconv2x2_stride2(x, kernel.astype(x.dtype), bias.astype(x.dtype))
+
+
 class MaskHead(nn.Module):
     """4x (3x3 conv 256 + relu) -> deconv 2x2/2 + relu -> 1x1 conv -> logits.
 
@@ -51,14 +72,17 @@ class MaskHead(nn.Module):
 
     @nn.compact
     def __call__(self, pooled):  # [N, 14, 14, C]
+        from slowfast_vos_tpu.ops.deconv import deconv2x2_stride2
+
         x = pooled.astype(self.dtype)
         for i in range(4):
             x = nn.relu(
                 nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)], name=f"mask_fcn{i + 1}", dtype=self.dtype)(x)
             )
-        x = nn.relu(
-            nn.ConvTranspose(self.channels, (2, 2), strides=(2, 2), name="conv5_mask", dtype=self.dtype)(x)
-        )
+        # ConvTranspose parameters with the MXU-native matmul+depth-to-space
+        # compute path (ops/deconv.py); param layout matches nn.ConvTranspose
+        # so checkpoint conversion is unaffected.
+        x = nn.relu(_DeconvMM(self.channels, name="conv5_mask", dtype=self.dtype)(x))
         x = nn.Conv(self.num_classes, (1, 1), name="mask_fcn_logits", dtype=self.dtype)(x)
         return x.astype(jnp.float32)  # [N, 28, 28, num_classes]
 

@@ -20,7 +20,6 @@ recompilation.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from slowfast_vos_tpu.models.config import DetectionConfig
-from slowfast_vos_tpu.models.matching import match_to_gt, sample_balanced, BELOW_LOW, BETWEEN
+from slowfast_vos_tpu.models.matching import match_to_gt, sample_balanced, BELOW_LOW
 from slowfast_vos_tpu.ops.boxes import box_iou, clip_boxes, decode_boxes, encode_boxes, remove_small_boxes_mask
 from slowfast_vos_tpu.ops.nms import batched_nms_mask, top_k_after_nms
 

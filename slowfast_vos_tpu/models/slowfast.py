@@ -31,7 +31,6 @@ for training it changes only BN statistics, not model capacity.
 """
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ tests/test_ops_roi_align.py.
 """
 from __future__ import annotations
 
-import functools
 from typing import Sequence
 
 import jax

@@ -11,7 +11,6 @@ sync-BN; the reference's single-device BN has nothing to sync).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -19,7 +19,6 @@ import os
 
 import jax
 import numpy as np
-import optax
 
 from slowfast_vos_tpu.data.davis import DavisIndex, load_sequence
 from slowfast_vos_tpu.data.frames import DavisFrameDataset, frame_batches

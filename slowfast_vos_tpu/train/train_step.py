@@ -17,7 +17,6 @@ reference's `proposal_loses`) carry no gradient.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
