@@ -83,7 +83,10 @@ def filter_proposals_single(
 
 
 def filter_proposals(objectness, deltas, anchors, *, image_hw, cfg: DetectionConfig, training: bool):
-    """vmap over the frame axis. objectness[l]: [T,H,W,A]."""
+    """Per-frame proposal filtering, sequential over frames (lax.map): the
+    fixpoint NMS holds an [N_cand, N_cand] IoU matrix (~100 MB at eval sizes),
+    which must not be batched across a whole superchunk.
+    objectness[l]: [T,H,W,A]."""
     pre = cfg.rpn_pre_nms_top_n_train if training else cfg.rpn_pre_nms_top_n_test
     post = cfg.rpn_post_nms_top_n_train if training else cfg.rpn_post_nms_top_n_test
     fn = functools.partial(
@@ -94,7 +97,10 @@ def filter_proposals(objectness, deltas, anchors, *, image_hw, cfg: DetectionCon
         nms_thresh=cfg.rpn_nms_thresh,
         min_size=cfg.rpn_min_size,
     )
-    return jax.vmap(lambda o, d: fn(o, d, tuple(anchors)))(tuple(objectness), tuple(deltas))
+    return jax.lax.map(
+        lambda od: fn(od[0], od[1], tuple(anchors)),
+        (tuple(objectness), tuple(deltas)),
+    )
 
 
 def smooth_l1(x, beta):

@@ -24,7 +24,38 @@ from slowfast_vos_tpu.ops.boxes import box_iou
 NEG_INF = -1e10
 
 
-@functools.partial(jax.jit, static_argnames=("iou_threshold", "block_size"))
+def _nms_fixpoint(sboxes, svalid, iou_threshold):
+    """Exact greedy NMS on score-sorted boxes via fixpoint iteration.
+
+    keep_{t+1}[i] = valid[i] & !any_{j<i}(keep_t[j] & iou[j,i] > thr)
+    has the greedy solution as its unique fixpoint (induction over the sorted
+    prefix), and converges in one step per level of the suppression DAG —
+    a handful of dense [N,N] mask-matvec iterations instead of the O(N)
+    sequential scalar loop. Memory: one [N,N] boolean matrix.
+    """
+    n = sboxes.shape[0]
+    iou = box_iou(sboxes, sboxes)
+    earlier = jnp.tril(jnp.ones((n, n), bool), k=-1)  # earlier[r, c] = (c < r)
+    # m[j, i] = (j < i) & overlap: candidate i is suppressed by any kept
+    # earlier box j.
+    m = (iou > iou_threshold) & earlier.T
+    m = m & svalid[:, None] & svalid[None, :]
+
+    def body(state):
+        keep, _changed = state
+        suppressed = (m & keep[:, None]).any(axis=0)
+        new_keep = svalid & ~suppressed
+        return new_keep, jnp.any(new_keep != keep)
+
+    def cond(state):
+        return state[1]
+
+    keep0 = svalid
+    keep, _ = jax.lax.while_loop(cond, body, (keep0, jnp.asarray(True)))
+    return keep
+
+
+@functools.partial(jax.jit, static_argnames=("iou_threshold", "block_size", "algorithm"))
 def nms_mask(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -32,6 +63,7 @@ def nms_mask(
     *,
     iou_threshold: float = 0.5,
     block_size: int = 128,
+    algorithm: str = "auto",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Non-maximum suppression with static shapes.
 
@@ -39,6 +71,9 @@ def nms_mask(
       boxes: [N, 4] XYXY.
       scores: [N].
       valid: optional [N] bool; invalid entries are never kept.
+      algorithm: 'fixpoint' (dense [N,N] iteration, fastest for N up to a few
+        thousand), 'blocked' (O(N) sequential scan sweep, bounded memory), or
+        'auto' (fixpoint for N <= 6144).
     Returns:
       (keep, order): `keep` is a [N] bool mask over the ORIGINAL index space;
       `order` is the score-descending permutation of indices (useful for a
@@ -51,6 +86,11 @@ def nms_mask(
     order = jnp.argsort(-eff_scores)
     sboxes = boxes[order]
     svalid = eff_scores[order] > NEG_INF / 2
+
+    if algorithm == "fixpoint" or (algorithm == "auto" and n <= 6144):
+        alive = _nms_fixpoint(sboxes, svalid, iou_threshold)
+        keep = jnp.zeros((n,), bool).at[order].set(alive)
+        return keep, order
 
     nblocks = -(-n // block_size)
     pad = nblocks * block_size - n

@@ -72,12 +72,31 @@ def test_clip_boxes():
 
 def test_nms_matches_greedy_reference():
     rng = np.random.default_rng(2)
-    for n in [5, 37, 150]:
-        boxes = rand_boxes(rng, n, size=60.0)
-        scores = rng.uniform(0, 1, n).astype(np.float32)
-        keep, _ = nms_mask(jnp.asarray(boxes), jnp.asarray(scores), iou_threshold=0.5, block_size=32)
-        ref = ref_nms(boxes, scores, 0.5)
-        np.testing.assert_array_equal(np.asarray(keep), ref)
+    for algorithm in ("blocked", "fixpoint"):
+        for n in [5, 37, 150]:
+            boxes = rand_boxes(rng, n, size=60.0)
+            scores = rng.uniform(0, 1, n).astype(np.float32)
+            keep, _ = nms_mask(
+                jnp.asarray(boxes), jnp.asarray(scores),
+                iou_threshold=0.5, block_size=32, algorithm=algorithm,
+            )
+            ref = ref_nms(boxes, scores, 0.5)
+            np.testing.assert_array_equal(np.asarray(keep), ref, err_msg=algorithm)
+
+
+def test_nms_fixpoint_suppression_chain():
+    # chain: 0 suppresses 1, 1 suppresses 2, 0 does not overlap 2 ->
+    # greedy keeps {0, 2}; a naive one-shot suppression would drop 2.
+    boxes = np.array(
+        [[0, 0, 10, 10], [4, 0, 14, 10], [8, 0, 18, 10]], np.float32
+    )  # IoU(0,1)=IoU(1,2)=0.43, IoU(0,2)=0.11
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    for algorithm in ("blocked", "fixpoint"):
+        keep, _ = nms_mask(
+            jnp.asarray(boxes), jnp.asarray(scores),
+            iou_threshold=0.3, block_size=32, algorithm=algorithm,
+        )
+        np.testing.assert_array_equal(np.asarray(keep), [True, False, True], err_msg=algorithm)
 
 
 def test_nms_respects_valid_mask():
