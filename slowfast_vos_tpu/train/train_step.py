@@ -239,7 +239,11 @@ class Trainer:
             "loss_objectness": obj_loss,
             "loss_rpn_box_reg": rpn_box_loss,
         }
-        return total, (metrics, bn_updates["batch_stats"])
+        # When the SlowFast stage is bypassed (use_slow_fast=False) no BN runs
+        # and the mutable update is empty — keep the existing stats rather
+        # than clobbering them.
+        new_bn = bn_updates.get("batch_stats") or batch_stats
+        return total, (metrics, new_bn)
 
     # -- step ---------------------------------------------------------------
 
