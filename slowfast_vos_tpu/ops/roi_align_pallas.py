@@ -22,12 +22,12 @@ Exposed as `multiscale_roi_align_pallas` with the same API/semantics as
 `ops/roi_align.py`; parity is tested in interpret mode on CPU and verified on
 hardware (sub-1e-2 vs the gather form at f32, MXU rounding).
 
-Measured status (v5e, 1000 rois, DAVIS pyramid): ~33 ms — on par with the
-gather formulation, limited by per-grid-step overhead (~30 us x 1000
-programs), not DMA (double buffering is implemented and did not move the
-number). The known next step is batching B rois per program with per-level
-patch sizes (P3-P5 fit VMEM whole), but pooling is only ~17% of device time
-for the full pipeline, so the gather form remains the default.
+Measured status (v5e, 1000 rois, DAVIS pyramid): ~29 ms with 4 rois per
+program (vs ~31 ms for the gather formulation and ~33 ms at 1 roi/program).
+The remaining wall is fixed-patch DMA volume (1000 x 1.6 MB of strided row
+copies); per-level patch sizing (P3-P5 fit whole in VMEM) is the known next
+step. Pooling is ~17% of device time for the full pipeline, so the exact
+gather form remains the default.
 
 Caveat: rois wider than PATCH-8 feature pixels at their assigned level
 (aspect ratios beyond ~5:1 at the level-mapper's size cap) have their tail
@@ -73,79 +73,74 @@ def _build_interp(start, bin_size, extent, origin, out_size: int, sr: int, patch
     return a.reshape(out_size, sr, patch).sum(axis=1) / sr
 
 
+ROIS_PER_PROGRAM = 4
+
+
 def _kernel(
     iparams_ref,  # SMEM int32 [N, 4]: level, py, px, _
     fparams_ref,  # SMEM float32 [N, 8]: y1, x1, bin_h, bin_w, h, w, _, _
     f0, f1, f2, f3,  # HBM level features [H_l, W_l, C]
-    out_ref,  # VMEM [1, out, out, C]
-    patch_ref,  # VMEM scratch [2, PATCH, PATCH, C] (double buffer)
-    sem,  # DMA semaphores [2]
+    out_ref,  # VMEM [B, out, out, C]
+    patch_ref,  # VMEM scratch [B, PATCH, PATCH, C]
+    sem,  # DMA semaphores [B]
     *,
     out_size: int,
     sr: int,
 ):
+    """B rois per program: issue all B patch DMAs up front (they pipeline in
+    the DMA engine), then compute each pooled output as it completes —
+    amortizing the per-grid-step overhead that bound the 1-roi/program
+    version."""
     r = pl.program_id(0)
-    n = pl.num_programs(0)
     levels = (f0, f1, f2, f3)
+    b = ROIS_PER_PROGRAM
 
-    def dma(ri, slot):
-        """Copy descriptor for roi `ri` into buffer `slot` (level-branched)."""
+    def dma(slot):
+        ri = r * b + slot
         lv = iparams_ref[ri, 0]
         py = pl.multiple_of(iparams_ref[ri, 1], 8)
         px = pl.multiple_of(iparams_ref[ri, 2], 8)
         for li, src in enumerate(levels):
             @pl.when(lv == li)
             def _():
-                yield_cp = pltpu.make_async_copy(
+                pltpu.make_async_copy(
                     src.at[pl.ds(py, PATCH), pl.ds(px, PATCH), :],
                     patch_ref.at[slot],
                     sem.at[slot],
-                )
-                yield_cp.start()
+                ).start()
 
-    def wait(slot):
-        # All level sources copy the same PATCH x PATCH x C extent, so the
-        # wait (a semaphore wait of the transfer size) is level-independent.
+    for slot in range(b):
+        dma(slot)
+
+    c = patch_ref.shape[-1]
+    for slot in range(b):
+        # Wait (size-based semaphore wait; the extent is level-independent).
         pltpu.make_async_copy(
             f0.at[pl.ds(0, PATCH), pl.ds(0, PATCH), :], patch_ref.at[slot], sem.at[slot]
         ).wait()
+        ri = r * b + slot
+        py = pl.multiple_of(iparams_ref[ri, 1], 8)
+        px = pl.multiple_of(iparams_ref[ri, 2], 8)
+        y1 = fparams_ref[ri, 0]
+        x1 = fparams_ref[ri, 1]
+        bin_h = fparams_ref[ri, 2]
+        bin_w = fparams_ref[ri, 3]
+        h = fparams_ref[ri, 4]
+        w = fparams_ref[ri, 5]
 
-    slot = jax.lax.rem(r, 2)
-    # Warm-up: program 0 issues its own DMA; every program prefetches r+1.
-    @pl.when(r == 0)
-    def _():
-        dma(0, 0)
+        a_y = _build_interp(y1, bin_h, h, py.astype(jnp.float32), out_size, sr, PATCH)
+        a_x = _build_interp(x1, bin_w, w, px.astype(jnp.float32), out_size, sr, PATCH)
 
-    @pl.when(r + 1 < n)
-    def _():
-        dma(r + 1, jax.lax.rem(r + 1, 2))
-
-    wait(slot)
-    patch_slot = patch_ref.at[slot]
-
-    py = pl.multiple_of(iparams_ref[r, 1], 8)
-    px = pl.multiple_of(iparams_ref[r, 2], 8)
-    y1 = fparams_ref[r, 0]
-    x1 = fparams_ref[r, 1]
-    bin_h = fparams_ref[r, 2]
-    bin_w = fparams_ref[r, 3]
-    h = fparams_ref[r, 4]
-    w = fparams_ref[r, 5]
-
-    a_y = _build_interp(y1, bin_h, h, py.astype(jnp.float32), out_size, sr, PATCH)
-    a_x = _build_interp(x1, bin_w, w, px.astype(jnp.float32), out_size, sr, PATCH)
-
-    c = patch_ref.shape[-1]
-    patch = patch_slot[:].astype(jnp.float32)
-    # tmp[p, w*c] = A_y @ patch
-    tmp = jnp.dot(a_y, patch.reshape(PATCH, PATCH * c), preferred_element_type=jnp.float32)
-    tmp = tmp.reshape(out_size, PATCH, c)
-    # out[p, q, c] = sum_w a_x[q, w] tmp[p, w, c]
-    out = jax.lax.dot_general(
-        a_x, tmp, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [q, p, c]
-    out_ref[0] = jnp.transpose(out, (1, 0, 2)).astype(out_ref.dtype)
+        patch = patch_ref[slot].astype(jnp.float32)
+        # tmp[p, w*c] = A_y @ patch
+        tmp = jnp.dot(a_y, patch.reshape(PATCH, PATCH * c), preferred_element_type=jnp.float32)
+        tmp = tmp.reshape(out_size, PATCH, c)
+        # out[p, q, c] = sum_w a_x[q, w] tmp[p, w, c]
+        out = jax.lax.dot_general(
+            a_x, tmp, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [q, p, c]
+        out_ref[slot] = jnp.transpose(out, (1, 0, 2)).astype(out_ref.dtype)
 
 
 def multiscale_roi_align_pallas(
@@ -195,6 +190,13 @@ def multiscale_roi_align_pallas(
     fparams = jnp.stack(
         [y1, x1, bin_h, bin_w, hs, ws, jnp.zeros_like(y1), jnp.zeros_like(y1)], axis=1
     )
+    # Pad the roi axis to a ROIS_PER_PROGRAM multiple (pad rois are level-0
+    # origin-0 no-ops whose outputs are sliced off).
+    b = ROIS_PER_PROGRAM
+    n_pad = -(-n // b) * b
+    if n_pad != n:
+        iparams = jnp.pad(iparams, ((0, n_pad - n), (0, 0)))
+        fparams = jnp.pad(fparams, ((0, n_pad - n), (0, 0)), constant_values=1.0)
 
     # Pad pyramid levels to the aligned extents so every PATCH copy is legal.
     dtype = feats[0].dtype
@@ -208,22 +210,23 @@ def multiscale_roi_align_pallas(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n,),
+        grid=(n_pad // b,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=pl.BlockSpec(
-            (1, output_size, output_size, c),
+            (b, output_size, output_size, c),
             lambda r, *_: (r, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, PATCH, PATCH, c), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((b, PATCH, PATCH, c), dtype),
+            pltpu.SemaphoreType.DMA((b,)),
         ],
     )
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_kernel, out_size=output_size, sr=sampling_ratio),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, output_size, output_size, c), dtype),
+        out_shape=jax.ShapeDtypeStruct((n_pad, output_size, output_size, c), dtype),
         interpret=interpret,
     )(iparams, fparams, *padded_feats)
+    return out[:n]
