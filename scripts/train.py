@@ -66,9 +66,10 @@ def _load_init(path: str, variables):
     # Orbax checkpoints: structure-agnostic restore (accepts both TrainState
     # and raw-variables layouts, ignores optimizer state). Missing subtrees
     # (e.g. slow_fast when seeding from a maskrcnn pretrain) keep their init.
-    from slowfast_vos_tpu.utils.checkpoint import load_variables
+    from slowfast_vos_tpu.utils.checkpoint import load_variables, migrate_params
 
     loaded = load_variables(path)
+    loaded["params"] = migrate_params(loaded["params"], variables["params"])
     params = dict(variables["params"])
     for k in params:
         if k in loaded["params"]:

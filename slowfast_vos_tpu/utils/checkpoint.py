@@ -38,6 +38,28 @@ def load_variables(path: str) -> dict:
     raise ValueError(f"unrecognized checkpoint structure at {path}: {list(raw)}")
 
 
+def migrate_params(loaded_params: dict, target_params: dict) -> dict:
+    """Adapt loaded params to the target's layout where an EXACT transform
+    exists. Currently: standard 7x7 stem -> space-to-depth stem (checkpoints
+    saved before s2d_stem, or with s2d_stem=False, load into s2d models)."""
+    try:
+        k = loaded_params["backbone"]["body"]["conv1"]["kernel"]
+        t = target_params["backbone"]["body"]["conv1"]["kernel"]
+    except (KeyError, TypeError):
+        return loaded_params
+    import numpy as np
+
+    if tuple(np.shape(k)) == (7, 7, 3, 64) and tuple(np.shape(t)) == (4, 4, 12, 64):
+        from slowfast_vos_tpu.models.resnet_fpn import stem_kernel_to_s2d
+
+        out = {**loaded_params}
+        out["backbone"] = {**loaded_params["backbone"]}
+        out["backbone"]["body"] = {**loaded_params["backbone"]["body"]}
+        out["backbone"]["body"]["conv1"] = {"kernel": stem_kernel_to_s2d(np.asarray(k))}
+        return out
+    return loaded_params
+
+
 def restore_checkpoint(path: str, target=None):
     """Restore a pytree; `target` (same structure) restores concrete dtypes/
     shardings. Returns (state, meta|None)."""

@@ -49,3 +49,20 @@ def test_resnet_s2d_vs_standard_stem_outputs():
     out_s2d = s2d.apply({"params": p}, x)
     for a, b in zip(out_std, out_s2d):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_migrate_params_converts_old_stem():
+    """Pre-s2d checkpoints (7x7 stem) load into s2d models exactly."""
+    from slowfast_vos_tpu.utils.checkpoint import migrate_params
+
+    rng = np.random.default_rng(2)
+    w7 = rng.normal(size=(7, 7, 3, 64)).astype(np.float32)
+    loaded = {"backbone": {"body": {"conv1": {"kernel": w7}}}}
+    target = {"backbone": {"body": {"conv1": {"kernel": np.zeros((4, 4, 12, 64))}}}}
+    out = migrate_params(loaded, target)
+    np.testing.assert_array_equal(
+        out["backbone"]["body"]["conv1"]["kernel"], stem_kernel_to_s2d(w7)
+    )
+    # same-layout passthrough
+    same = migrate_params(loaded, loaded)
+    assert same["backbone"]["body"]["conv1"]["kernel"] is w7
