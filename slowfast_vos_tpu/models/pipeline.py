@@ -202,6 +202,17 @@ class Pipeline:
         finalize = self._finalize_instances_impl if instance_masks else self._finalize_impl
         return finalize(boxes, scores, labels, dvalid, mask_probs)
 
+    def forward_superchunk(self, variables, images, feat_valid):
+        """PUBLIC jittable full-pipeline forward on one superchunk — the
+        stable entry-point contract for external drivers (`__graft_entry__`).
+
+        images: [SC + F - 1, H0, W0, 3] uint8/float (halo frames included),
+        feat_valid: [SC + F - 1] bool (False for zero halo frames beyond the
+        sequence ends). Returns (orig_boxes, scores, labels, valid, packed
+        union masks) — see `_superchunk_impl`.
+        """
+        return self._superchunk_impl(variables, images, feat_valid)
+
     # ---- host drivers -------------------------------------------------------
 
     def compute_sequence_features(self, variables, images: np.ndarray):
