@@ -85,12 +85,21 @@ class OsvosFirstFrameDataset:
         halo_left = self.fast // 2
         halo_right = -(-self.fast // 2) - 1
         front = list(reversed(neighbors))[:halo_left]
+        front_valid = [True] * len(front)
         while len(front) < halo_left:
             front.insert(0, np.zeros_like(images[0]))
+            front_valid.insert(0, False)
         back = neighbors[:halo_right]
+        back_valid = [True] * len(back)
         while len(back) < halo_right:
             back.append(np.zeros_like(images[0]))
+            back_valid.append(False)
         window = np.stack(front + [img0] + back)  # uint8; /255 happens on device
+        # Zero-filled halo slots (even F, or sequences shorter than ceil(F/2))
+        # are marked invalid so the pipeline substitutes zero FEATURES for
+        # them, matching the reference's compute_maskrcnn_features padding
+        # (model.py:215-225) instead of computing features of a black frame.
+        feat_valid = np.array(front_valid + [True] + back_valid, bool)
 
         g = self.max_gt
         h, w = images.shape[1:3]
@@ -105,7 +114,7 @@ class OsvosFirstFrameDataset:
 
         return {
             "images": window,
-            "feat_valid": np.ones((window.shape[0],), bool),
+            "feat_valid": feat_valid,
             "frame_valid": np.array([n_obj > 0]),
             "boxes": boxes,
             "labels": np.ones((1, g), np.int32),

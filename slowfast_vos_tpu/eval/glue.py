@@ -72,9 +72,15 @@ def davis_evaluation(
     subset: str = "val",
     year: str = "2016",
 ):
-    """Inference + official scoring. `sequences=None` evaluates the full set as
-    the 'unsupervised' task; naming a sequence uses the 'semi-supervised' task
-    path, mirroring `davis_evaluate.py:27`.
+    """Inference + official scoring. `sequences=None` evaluates the full set;
+    naming sequences (the OSVOS flow) writes under the 'semi-supervised'
+    results path, mirroring `davis_evaluate.py:27`.
+
+    The task name ONLY picks the results directory: scoring ALWAYS uses the
+    unsupervised evaluator (all frames, Hungarian matching), exactly like the
+    reference, whose `davis_evaluate.py:49` hardcodes task='unsupervised' for
+    `DAVISEvaluation` regardless of the output path. (The semi-supervised
+    protocol would exclude the first/last frames and shift OSVOS numbers.)
 
     Returns (jf_mean, global_summary dict, per_object dict, wall_time_s).
     """
@@ -85,7 +91,9 @@ def davis_evaluation(
     extract_masks(
         pipe, variables, davis_root, out_dir, sequences=seqs, subset=subset, year=year
     )
-    scorer = DavisScorer(davis_root, task=task, gt_set=subset, sequences=seqs, year=year)
+    scorer = DavisScorer(
+        davis_root, task="unsupervised", gt_set=subset, sequences=seqs, year=year
+    )
     metrics = scorer.evaluate(out_dir)
     summary = summarize(metrics)
     per_object = {

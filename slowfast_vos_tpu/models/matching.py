@@ -44,9 +44,13 @@ def match_to_gt(
     )
     if allow_low_quality:
         # For each gt, every candidate achieving that gt's best IoU (ties incl.)
-        # is restored to its argmax match — torchvision's low-quality rule.
+        # is restored to its argmax match — torchvision's low-quality rule
+        # (`Matcher.set_low_quality_matches_`), INCLUDING its quirk that a gt
+        # whose best IoU is 0 restores every zero-overlap candidate (torch has
+        # no >0 guard; verified by the differential test in
+        # tests/test_torch_parity.py).
         best_per_gt = iou.max(axis=0)  # [num_gt]
-        is_best = (iou == best_per_gt[None, :]) & gt_valid[None, :] & (best_per_gt[None, :] > 0)
+        is_best = (iou == best_per_gt[None, :]) & gt_valid[None, :]
         restore = is_best.any(axis=1)
         out = jnp.where(restore, matches, out)
     return out

@@ -7,7 +7,7 @@ max-side<=1333 + ImageNet normalization) and whose `postprocess` it calls at
 
 TPU-first differences:
 * the output canvas is STATIC (configurable; DAVIS's uniform 854x480 frames
-  resize to 750x1333 and pad to 768x1344), so the whole downstream graph
+  resize to 749x1333 and pad to 768x1344), so the whole downstream graph
   compiles once;
 * whole clips [T, H, W, 3] are transformed in one fused device op — resize,
   normalize and pad all ride HBM bandwidth exactly once;
@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -34,8 +35,11 @@ def resize_scale(orig_hw: tuple[int, int], min_size: int = 800, max_size: int = 
 
 
 def resized_hw(orig_hw: tuple[int, int], min_size: int = 800, max_size: int = 1333) -> tuple[int, int]:
+    """torchvision floors: F.interpolate(scale_factor=s,
+    recompute_scale_factor=True) emits floor(dim * s) (DAVIS 480x854 ->
+    749x1333; e.g. 500x889 -> 749x1333, where round() would give 750)."""
     s = resize_scale(orig_hw, min_size, max_size)
-    return round(orig_hw[0] * s), round(orig_hw[1] * s)
+    return math.floor(orig_hw[0] * s), math.floor(orig_hw[1] * s)
 
 
 def canvas_for(orig_hw: tuple[int, int], min_size: int = 800, max_size: int = 1333, divisor: int = 64) -> tuple[int, int]:
@@ -86,7 +90,9 @@ class ImageTransform:
                 x = x / 255.0
             x = (x - mean) / std
             t = x.shape[0]
-            x = jax.image.resize(x, (t, rh, rw, 3), method="bilinear")
+            # antialias=False: torchvision-era F.interpolate(bilinear) has no
+            # antialiasing; matters only when downscaling (e.g. 1080p inputs).
+            x = jax.image.resize(x, (t, rh, rw, 3), method="bilinear", antialias=False)
             return jnp.pad(x, ((0, 0), (0, ch - rh), (0, cw - rw), (0, 0)))
 
         return run

@@ -11,9 +11,10 @@ SURVEY.md §2b). Semantics match torchvision's `aligned=False` convention:
   clamped to [0, H-1] and the top edge collapses (y_low==y_high==H-1).
 
 The implementation is a dense gather + weighted sum, fully batched over rois so
-XLA lowers it onto the VPU with no per-roi Python. A hand-written Pallas kernel
-with scalar-prefetched roi coordinates lives in `ops/roi_align_pallas.py` and is
-used on TPU for the hot path.
+XLA lowers it onto the VPU with no per-roi Python; this gather form is the
+production default in the pipeline. A hand-written Pallas kernel with
+scalar-prefetched roi coordinates lives in `ops/roi_align_pallas.py` as an
+alternative backend (same numerics, selectable where profiling favors it).
 """
 from __future__ import annotations
 

@@ -61,8 +61,9 @@ def test_infer_sequence_shapes(tiny_pipeline):
 def test_transform_geometry(tiny_pipeline):
     pipe, _ = tiny_pipeline
     tr = pipe.transform
-    # min side 60 -> 64 would make max side 106 > 128? 100*64/60=106.7 ≤ 128 -> ok
-    assert tr.resized_hw == (64, 107)
+    # min side 60 -> 64 makes max side 100*64/60=106.7 ≤ 128 -> ok; torchvision
+    # FLOORS the scaled extent (recompute_scale_factor), so 106 not 107.
+    assert tr.resized_hw == (64, 106)
     assert tr.canvas_hw == (64, 128)
     import jax.numpy as jnp
 
