@@ -28,12 +28,17 @@ def main():
     import jax
 
     from slowfast_vos_tpu.models.pipeline import init_variables
+    from slowfast_vos_tpu.parallel.distributed import init_distributed_mode
     from slowfast_vos_tpu.train.pretrain import (
         build_maskrcnn_pipeline,
         extract_rpn_proposals,
         train_maskrcnn,
     )
     from scripts.train import _load_init
+
+    # Multi-host entry (env-guarded no-op single-process) — the reference's
+    # init_distributed_mode (code/maskrcnn/utils.py:305-327).
+    init_distributed_mode()
 
     pipe, model = build_maskrcnn_pipeline(tuple(args.original_hw))
     variables = init_variables(model, jax.random.PRNGKey(63))

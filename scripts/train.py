@@ -28,7 +28,12 @@ def main():
     import jax
 
     from slowfast_vos_tpu.models.pipeline import build_pipeline, init_variables
+    from slowfast_vos_tpu.parallel.distributed import init_distributed_mode
     from slowfast_vos_tpu.train.trainer import train_unsupervised
+
+    # Multi-host entry (env-guarded no-op single-process) — the reference's
+    # init_distributed_mode (code/maskrcnn/utils.py:305-327).
+    init_distributed_mode()
 
     pipe, model = build_pipeline(args.slow, args.fast, tuple(args.original_hw))
     variables = init_variables(model, jax.random.PRNGKey(args.seed))

@@ -37,7 +37,16 @@ def _box_area(b):
 def clip_box_keep(boxes: np.ndarray, bounds, alpha: float):
     """Clip boxes to `bounds` (x1,y1,x2,y2); keep those retaining at least
     `alpha`... precisely: drop when the lost area fraction >= (1 - alpha),
-    matching the reference library's clip_box."""
+    matching the reference library's clip_box (`bbox_util.py:47-91`) for
+    every box that intersects the canvas.
+
+    Documented divergence: the library clips one-sidedly (x1 only against
+    the left bound, x2 only against the right), so a box ENTIRELY beyond an
+    edge becomes an inverted box whose fake positive area passes the keep
+    rule — which then crashes torchvision's degenerate-box validation in the
+    reference's own training. We clip two-sidedly and drop such boxes
+    (zero retained area), which is behavior-identical in every run the
+    reference itself can survive."""
     if len(boxes) == 0:
         return boxes, np.zeros((0,), bool)
     area = np.maximum(_box_area(boxes), 1e-9)
@@ -82,7 +91,12 @@ class Flip(AppliedTransform):
 
 @dataclasses.dataclass(frozen=True)
 class Scale(AppliedTransform):
-    """Resize by (1+sx, 1+sy) keeping the canvas size (crop or black-pad)."""
+    """Resize by (1+sx, 1+sy) keeping the canvas size (crop or black-pad).
+
+    Matches the library's `RandomScale.__call__` (`data_aug.py:151-186`)
+    exactly: the copied region is `int(min(f, 1) * dim)` per axis (truncation,
+    not the cv2-resized extent), and the clip bound is `[0, 0, 1 + w, h]` —
+    the library's off-by-one x bound — with alpha 0.05."""
 
     sx: float = 0.0
     sy: float = 0.0
@@ -93,7 +107,8 @@ class Scale(AppliedTransform):
         fx, fy = 1.0 + self.sx, 1.0 + self.sy
         resized = cv2.resize(img, None, fx=fx, fy=fy)
         canvas = np.zeros_like(img)
-        yl, xl = min(resized.shape[0], h), min(resized.shape[1], w)
+        yl = int(min(fy, 1.0) * h)
+        xl = int(min(fx, 1.0) * w)
         canvas[:yl, :xl] = resized[:yl, :xl]
         img = canvas
         if masks is not None:
@@ -105,7 +120,7 @@ class Scale(AppliedTransform):
         keep = None
         if boxes is not None and len(boxes):
             boxes = boxes * np.array([fx, fy, fx, fy])
-            boxes, keep = clip_box_keep(boxes, (0, 0, w, h), self.alpha)
+            boxes, keep = clip_box_keep(boxes, (0, 0, 1 + w, h), self.alpha)
         elif boxes is not None:
             keep = np.zeros((0,), bool)
         return img, masks, boxes, keep
@@ -113,7 +128,10 @@ class Scale(AppliedTransform):
 
 @dataclasses.dataclass(frozen=True)
 class Translate(AppliedTransform):
-    """Shift by (tx, ty) fractions of the canvas, black-filling."""
+    """Shift by (tx, ty) fractions of the canvas, black-filling.
+
+    Library semantics (`data_aug.py:291-318`): the pixel shift is
+    `int(t * dim)` — truncation toward zero, not rounding."""
 
     tx: float = 0.0
     ty: float = 0.0
@@ -121,7 +139,7 @@ class Translate(AppliedTransform):
 
     def apply(self, img, masks=None, boxes=None):
         h, w = img.shape[:2]
-        dx, dy = int(round(self.tx * w)), int(round(self.ty * h))
+        dx, dy = int(self.tx * w), int(self.ty * h)
         mat = np.float32([[1, 0, dx], [0, 1, dy]])
         img = cv2.warpAffine(img, mat, (w, h))
         if masks is not None:
@@ -193,50 +211,59 @@ class Rotate(AppliedTransform):
 
 @dataclasses.dataclass(frozen=True)
 class Shear(AppliedTransform):
-    """Horizontal shear by factor `sx` (library semantics: x' = x + sx*y)."""
+    """Horizontal shear by factor `sx` (library semantics: x' = x + sx*y).
+
+    Mirrors `RandomShear.__call__` (`data_aug.py:577-604`) step for step,
+    including its quirks: negative shear = flip → positive shear → flip back
+    (the flip-back happens at the SHEARED width, before the resize); the box
+    x-shift is int-truncated (`.astype(int)`); the resize-back divisor is the
+    FLOAT sheared width / w; and there is NO clip_box — every box is kept.
+    Masks (which the library's shear never handled) follow the image
+    geometry exactly."""
 
     sx: float = 0.0
-    alpha: float = 0.25
 
     def apply(self, img, masks=None, boxes=None):
         h, w = img.shape[:2]
-        sx = self.sx
-        flip_back = sx < 0
+        sx = abs(self.sx)
+        flip_back = self.sx < 0
         if flip_back:  # library trick: negative shear = flip, shear, flip
             img, masks, boxes, _ = Flip().apply(img, masks, boxes)
-            sx = -sx
-        nw = w + int(abs(sx) * h)
+        nw_f = w + sx * h  # float sheared width — the box divisor
+        nw = int(nw_f)  # integer width for the raster ops
         mat = np.float32([[1, sx, 0], [0, 1, 0]])
+        if boxes is not None and len(boxes):
+            boxes = boxes.copy()
+            boxes[:, [0, 2]] += (boxes[:, [1, 3]] * sx).astype(int)
         img = cv2.warpAffine(img, mat, (nw, h))
         if masks is not None:
             masks = np.stack(
                 [cv2.warpAffine(m.astype(np.uint8), mat, (nw, h)) for m in masks]
             ).astype(masks.dtype)
-        if boxes is not None and len(boxes):
-            boxes = boxes.copy()
-            boxes[:, [0, 2]] += boxes[:, [1, 3]] * sx
+        if flip_back:  # flipped back at the sheared width, before the resize
+            img, masks, boxes, _ = Flip().apply(img, masks, boxes)
         img = cv2.resize(img, (w, h))
-        scale_x = nw / w
         if masks is not None:
             masks = np.stack([cv2.resize(m.astype(np.uint8), (w, h)) for m in masks]).astype(
                 masks.dtype
             )
         keep = None
-        if boxes is not None and len(boxes):
-            boxes[:, [0, 2]] /= scale_x
-            if flip_back:
-                img, masks, boxes, _ = Flip().apply(img, masks, boxes)
-            boxes, keep = clip_box_keep(boxes, (0, 0, w, h), self.alpha)
-        elif boxes is not None:
-            keep = np.zeros((0,), bool)
-            if flip_back:
-                img, masks, boxes, _ = Flip().apply(img, masks, boxes)
+        if boxes is not None:
+            if len(boxes):
+                boxes[:, [0, 2]] /= nw_f / w
+            keep = np.ones(len(boxes), bool)  # the library's shear never clips
         return img, masks, boxes, keep
 
 
 @dataclasses.dataclass(frozen=True)
 class HSVShift(AppliedTransform):
-    """Additive hue/saturation/brightness jitter."""
+    """Additive "hue/saturation/brightness" jitter.
+
+    The library's `RandomHSV.__call__` (`data_aug.py:770-786`) never converts
+    to HSV: it adds the three offsets to the RAW channels of whatever color
+    space the image is in, clips to [0, 255], then re-clips channel 0 to
+    [0, 179] (the HSV hue cap applied to a non-HSV channel). Replicated
+    verbatim for distribution parity."""
 
     dh: int = 0
     ds: int = 0
@@ -244,16 +271,19 @@ class HSVShift(AppliedTransform):
 
     def apply(self, img, masks=None, boxes=None):
         keep = None if boxes is None else np.ones(len(boxes), bool)
-        hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.int32)
-        hsv += np.array([self.dh, self.ds, self.dv])
-        hsv = np.clip(hsv, 0, 255).astype(np.uint8)
-        return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB), masks, boxes, keep
+        out = img.astype(int) + np.array([self.dh, self.ds, self.dv], int)
+        out = np.clip(out, 0, 255)
+        out[:, :, 0] = np.clip(out[:, :, 0], 0, 179)
+        return out.astype(np.uint8), masks, boxes, keep
 
 
 @dataclasses.dataclass(frozen=True)
 class Letterbox(AppliedTransform):
-    """Aspect-preserving resize onto a gray `size` x `size` canvas (the
-    library's `Resize`)."""
+    """Aspect-preserving resize CENTERED on a black `size` x `size` canvas —
+    the library's `Resize` + `letterbox_image` (`data_aug.py:654-705`,
+    `bbox_util.py:239-268`): resized extent is int-truncated, the canvas
+    offset is `(size - new) // 2`, and the box offset is the FLOAT centering
+    delta truncated via `.astype(int)`."""
 
     size: int = 608
 
@@ -261,16 +291,22 @@ class Letterbox(AppliedTransform):
         h, w = img.shape[:2]
         scale = min(self.size / h, self.size / w)
         nh, nw = int(h * scale), int(w * scale)
-        canvas = np.full((self.size, self.size, 3), 128, np.uint8)
-        canvas[:nh, :nw] = cv2.resize(img, (nw, nh))
+        oy, ox = (self.size - nh) // 2, (self.size - nw) // 2
+        canvas = np.zeros((self.size, self.size, 3), np.uint8)
+        canvas[oy : oy + nh, ox : ox + nw] = cv2.resize(img, (nw, nh))
         if masks is not None:
             out = np.zeros((masks.shape[0], self.size, self.size), masks.dtype)
             for i, m in enumerate(masks):
-                out[i, :nh, :nw] = cv2.resize(m.astype(np.uint8), (nw, nh))
+                out[i, oy : oy + nh, ox : ox + nw] = cv2.resize(m.astype(np.uint8), (nw, nh))
             masks = out
         keep = None if boxes is None else np.ones(len(boxes), bool)
         if boxes is not None and len(boxes):
-            boxes = boxes * scale
+            # library: bboxes += [[del_w, del_h, del_w, del_h]].astype(int)
+            # where del = (size - scale*dim) / 2 as a FLOAT of the exact
+            # (untruncated) resized extent.
+            del_h = int((self.size - scale * h) / 2)
+            del_w = int((self.size - scale * w) / 2)
+            boxes = boxes * scale + np.array([del_w, del_h, del_w, del_h])
         return canvas, masks, boxes, keep
 
 
@@ -319,12 +355,11 @@ class RandomTranslate:
 
 
 class RandomShear:
-    def __init__(self, shear=0.2, alpha: float = 0.25):
+    def __init__(self, shear=0.2):
         self.range = shear if isinstance(shear, tuple) else (-shear, shear)
-        self.alpha = alpha
 
     def sample(self, rng: np.random.Generator) -> Shear:
-        return Shear(sx=rng.uniform(*self.range), alpha=self.alpha)
+        return Shear(sx=rng.uniform(*self.range))
 
 
 class RandomHSV:

@@ -53,12 +53,17 @@ def make_synthetic_davis(
     seed: int = 63,
     resolution: str = "480p",
 ):
-    """Create a synthetic DAVIS tree under `root`. Returns sequence names."""
+    """Create a synthetic DAVIS tree under `root`. Returns sequence names.
+
+    `hw` may be one (h, w) for a uniform-resolution tree, or a list of
+    per-sequence (h, w) pairs (cycled) to build a mixed-resolution tree —
+    used to exercise the aspect-grouped batching path."""
     rng = np.random.default_rng(seed)
-    h, w = hw
+    hws = hw if isinstance(hw, list) else [hw]
     names = []
     img_lines = []
     for s in range(num_sequences):
+        h, w = hws[s % len(hws)]
         name = f"synth{s:02d}"
         names.append(name)
         img_dir = os.path.join(root, "JPEGImages", resolution, name)

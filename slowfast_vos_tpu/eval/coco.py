@@ -13,7 +13,11 @@ from __future__ import annotations
 
 import numpy as np
 
-IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05)
+# pycocotools grid, bit-for-bit: np.linspace rounds 0.6 DOWN
+# (0.5999999999999999778) where np.arange(0.5, 1.0, 0.05) rounds it UP
+# (0.6000000000000000888) — an exact-0.6 IoU match is a TP under the real
+# protocol and would be a FP under arange.
+IOU_THRESHOLDS = np.linspace(0.5, 0.95, 10)
 
 
 def _box_iou_np(a, b):

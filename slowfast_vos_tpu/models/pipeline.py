@@ -178,11 +178,18 @@ class Pipeline:
         stages it could never see across separate dispatches.
 
         images: [SC + F - 1, H0, W0, 3] uint8 (halo frames included; zero +
-        feat_valid=False beyond the sequence ends).
+        feat_valid=False beyond the sequence ends), or a (y, uv) tuple of
+        YUV 4:2:0 planes (half the upload bytes — the tunnel's transfer
+        bandwidth is the wall-clock bottleneck; see `rgb_to_yuv420`).
         """
+        if isinstance(images, tuple):
+            y, uv = images
+            sc = y.shape[0] - (self.sf.fast - 1)
+            canvas = self.transform.from_yuv420(y, uv)
+        else:
+            sc = images.shape[0] - (self.sf.fast - 1)
+            canvas = self.transform(images)
         f = self.sf.fast
-        sc = images.shape[0] - (f - 1)
-        canvas = self.transform(images)
         feats = self.model.apply(variables, canvas, method="backbone_feats")
         feats = [jnp.where(feat_valid[:, None, None, None], fl, 0.0) for fl in feats]
 
@@ -245,7 +252,12 @@ class Pipeline:
         return feats_padded, jnp.concatenate(prop_parts), jnp.concatenate(pvalid_parts)
 
     def infer_sequence(
-        self, variables, images: np.ndarray, *, instance_masks: bool = False
+        self,
+        variables,
+        images: np.ndarray,
+        *,
+        instance_masks: bool = False,
+        transport: str = "rgb",
     ) -> list[dict[str, Any]]:
         """Full-sequence inference at original resolution.
 
@@ -254,16 +266,20 @@ class Pipeline:
         only with `instance_masks=True` — masks [D, H, W] probabilities.
         `images` may be uint8 (preferred) or float32 in [0,1].
 
-        The whole pipeline runs as ONE device call per `superchunk` frames.
-        Image windows upload per chunk (the DMA engines overlap each upload
-        with the previous chunk's compute); union masks come back bit-packed
-        in ONE fetch at sequence end — the high-latency host link is off the
-        critical path on both directions.
+        The whole pipeline runs as ONE device call per `superchunk` frames;
+        union masks come back bit-packed in ONE fetch at sequence end.
+        `transport="yuv420"` uploads 4:2:0 planes instead of raw RGB — half
+        the bytes on a link that does not overlap transfers with compute
+        (measured: the dominant wall-clock term). DAVIS sources are 4:2:0
+        JPEGs, so the chroma loss mirrors the source material; use "rgb" for
+        exact-parity runs.
         """
         t = images.shape[0]
         sc = self.superchunk
         hl, hr = self.halo_left, self.halo_right
         w = images.shape[2]
+        if transport == "yuv420":
+            from slowfast_vos_tpu.models.transform import rgb_to_yuv420
 
         pending = []
         for c in range(0, t, sc):
@@ -271,12 +287,17 @@ class Pipeline:
             in_range = (idxs >= 0) & (idxs < t)
             window = images[np.clip(idxs, 0, t - 1)].copy()
             window[~in_range] = 0
+            if transport == "yuv420":
+                y, uv = rgb_to_yuv420(window)
+                dev_images = (jnp.asarray(y), jnp.asarray(uv))
+            else:
+                dev_images = jnp.asarray(window)
             pending.append(
                 (
                     min(sc, t - c),
                     self._superchunk(
                         variables,
-                        jnp.asarray(window),
+                        dev_images,
                         jnp.asarray(in_range),
                         instance_masks=instance_masks,
                     ),

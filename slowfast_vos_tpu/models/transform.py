@@ -103,6 +103,50 @@ class ImageTransform:
         transfer volume and the /255 fuses into the normalize on device."""
         return self._jitted(images)
 
+    @functools.cached_property
+    def _jitted_yuv(self):
+        rh, rw = self.resized_hw
+        ch, cw = self.canvas_hw
+        import numpy as np
+
+        mean = np.asarray(IMAGENET_MEAN, np.float32)
+        std = np.asarray(IMAGENET_STD, np.float32)
+
+        @jax.jit
+        def run(y, uv):
+            t, h, w = y.shape
+            # Chroma upsample 2x with half-pixel centers, then STUDIO-range
+            # BT.601 YCbCr -> RGB — the inverse of cv2 RGB2YUV_I420, which
+            # emits Y in [16, 235] / chroma excursion 224 (verified against
+            # cv2 on solid colors: white -> Y 235, black -> Y 16).
+            yf = (y.astype(jnp.float32) - 16.0) * (255.0 / 219.0)
+            uvf = jax.image.resize(
+                uv.astype(jnp.float32), (t, h, w, 2), method="bilinear", antialias=False
+            ) - 128.0
+            cb = uvf[..., 0] * (255.0 / 224.0)
+            cr = uvf[..., 1] * (255.0 / 224.0)
+            r = yf + 1.402 * cr
+            g = yf - 0.344136 * cb - 0.714136 * cr
+            b = yf + 1.772 * cb
+            x = jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0) / 255.0
+            x = (x - mean) / std
+            x = jax.image.resize(x, (t, rh, rw, 3), method="bilinear", antialias=False)
+            return jnp.pad(x, ((0, 0), (0, ch - rh), (0, cw - rw), (0, 0)))
+
+        return run
+
+    def from_yuv420(self, y: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+        """YUV 4:2:0 planes -> the same normalized canvas as `__call__`.
+
+        y: [T, H, W] uint8 luma; uv: [T, H/2, W/2, 2] uint8 chroma (Cb, Cr).
+        The host<->device link is this pipeline's wall-clock bottleneck (a
+        high-latency tunnel that does NOT overlap transfers with compute), so
+        the transport format is a first-class knob: 4:2:0 halves the bytes of
+        raw RGB, and DAVIS JPEGs are 4:2:0-subsampled to begin with, so the
+        chroma loss mirrors what the source material already had. Produced on
+        host by `rgb_to_yuv420`."""
+        return self._jitted_yuv(y, uv)
+
     @property
     def _box_ratios(self) -> tuple[float, float]:
         # Per-axis ratios of the *rounded* resized size, like torchvision's
@@ -128,3 +172,26 @@ class ImageTransform:
         """Canvas resolution -> original resolution (postprocess step)."""
         ry, rx = self._box_ratios
         return boxes / jnp.asarray([rx, ry, rx, ry], boxes.dtype)
+
+
+def rgb_to_yuv420(images) -> tuple:
+    """Host-side RGB -> planar YUV 4:2:0 (halves upload bytes; see
+    `ImageTransform.from_yuv420`).
+
+    images: [T, H, W, 3] uint8 with even H, W.
+    Returns (y [T, H, W] uint8, uv [T, H/2, W/2, 2] uint8, Cb then Cr).
+    """
+    import cv2
+    import numpy as np
+
+    t, h, w = images.shape[:3]
+    assert h % 2 == 0 and w % 2 == 0, "YUV 4:2:0 transport needs even H, W"
+    y = np.empty((t, h, w), np.uint8)
+    uv = np.empty((t, h // 2, w // 2, 2), np.uint8)
+    qh = h // 4  # I420 chroma plane rows in the stacked [H*3/2, W] layout
+    for i in range(t):
+        i420 = cv2.cvtColor(images[i], cv2.COLOR_RGB2YUV_I420)  # [H*3/2, W]
+        y[i] = i420[:h]
+        uv[i, :, :, 0] = i420[h : h + qh].reshape(h // 2, w // 2)
+        uv[i, :, :, 1] = i420[h + qh :].reshape(h // 2, w // 2)
+    return y, uv

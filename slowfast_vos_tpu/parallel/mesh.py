@@ -18,6 +18,10 @@ from jax.sharding import Mesh
 
 
 def make_mesh(n_devices: int | None = None, axis_names=("data",), shape=None) -> Mesh:
+    """Mesh over the GLOBAL device list — process-count aware: after
+    `parallel.distributed.init_distributed_mode` every host sees all hosts'
+    devices, so the same mesh/shard_map code runs single- or multi-host
+    (each process feeds its `local_batch_slice` of the global batch)."""
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)

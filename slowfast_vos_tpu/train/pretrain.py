@@ -74,10 +74,40 @@ def train_maskrcnn(
     schedule = warmup_step_lr(
         lr, steps_per_epoch, warmup_iters=min(1000, steps_per_epoch - 1) or 1
     )
-    trainer = Trainer(
-        pipe, lr=schedule, weight_decay=weight_decay,
-        n_center=batch_size, train_backbone=True,
-    )
+    def make_trainer(p):
+        return Trainer(
+            p, lr=schedule, weight_decay=weight_decay,
+            n_center=batch_size, train_backbone=True,
+        )
+
+    trainer = make_trainer(pipe)
+    # Mixed-resolution data (aspect-grouped by `frame_batches`) trains through
+    # one Pipeline per padded canvas — same model/params, different static
+    # geometry — the reference's GroupedBatchSampler + batch_images pairing
+    # (`group_by_aspect_ratio.py:23-196`). Uniform data (DAVIS) only ever
+    # touches the default entry.
+    trainers = {tuple(pipe.transform.original_hw): trainer}
+
+    def trainer_for(images_hw):
+        t = trainers.get(images_hw)
+        if t is None:
+            from slowfast_vos_tpu.models.transform import ImageTransform
+
+            tf = ImageTransform(
+                images_hw,
+                min_size=pipe.transform.min_size,
+                max_size=pipe.transform.max_size,
+                divisor=pipe.transform.divisor,
+            )
+            t = make_trainer(
+                Pipeline(
+                    pipe.model, tf,
+                    backbone_batch=pipe.backbone_batch, chunk=pipe.chunk,
+                )
+            )
+            trainers[images_hw] = t
+        return t
+
     if variables is None:
         variables = init_variables(pipe.model, jax.random.PRNGKey(seed))
     state = trainer.init_state(variables)
@@ -90,7 +120,8 @@ def train_maskrcnn(
         n = 0
         for batch in frame_batches(dataset, batch_size, seed=seed + epoch):
             key, sub = jax.random.split(key)
-            state, metrics = trainer.step(state, sub, jax_batch(batch))
+            tr = trainer_for(tuple(batch["images"].shape[1:3]))
+            state, metrics = tr.step(state, sub, jax_batch(batch))
             loss = float(metrics["loss"])
             if not np.isfinite(loss):
                 raise FloatingPointError(

@@ -134,3 +134,88 @@ def test_osvos_dataset(davis_root):
     # different items get different augmentation draws
     a, b = ds[1], ds[2]
     assert not np.allclose(a["images"], b["images"])
+
+
+@pytest.fixture()
+def identical_frames_root(tmp_path):
+    """A sequence whose frames are all the SAME image (one object), so any
+    consistently-applied augmentation draw must leave every window frame
+    pixel-identical — the window-consistency oracle."""
+    from PIL import Image
+    from slowfast_vos_tpu.data.davis import save_palette_mask
+
+    root = str(tmp_path / "davis_ident")
+    img_dir = f"{root}/JPEGImages/480p/ident"
+    msk_dir = f"{root}/Annotations/480p/ident"
+    import os
+    os.makedirs(img_dir); os.makedirs(msk_dir)
+    rng = np.random.default_rng(7)
+    frame = rng.integers(0, 255, (48, 80, 3), np.uint8)
+    mask = np.zeros((48, 80), np.uint8)
+    mask[30:44, 60:76] = 1  # near the corner: big scale draws push it out
+    for f in range(5):
+        Image.fromarray(frame).save(f"{img_dir}/{f:05d}.jpg", quality=95)
+        if f == 0:
+            save_palette_mask(mask, f"{msk_dir}/{f:05d}.png")
+    os.makedirs(f"{root}/ImageSets/2017", exist_ok=True)
+    with open(f"{root}/ImageSets/2017/train.txt", "w") as fh:
+        fh.write("ident\n")
+    return root
+
+
+def test_osvos_window_consistency_one_draw(identical_frames_root):
+    """Reference contract (`dataset_osvos.py:43-68`): ONE flip/scale/rotate
+    draw per item, applied to the target frame AND all neighbors — including
+    when the scale-retry loop re-draws (`:59-63`, the accepted draw must be
+    what the neighbors replay, not the first rejection). With identical
+    source frames, consistency <=> all valid window frames pixel-identical.
+
+    scale=0.9 + an object near the corner makes retries frequent, so this
+    exercises the retry-replay path, not just the happy path."""
+    idx = DavisIndex(identical_frames_root, "train")
+    ds = OsvosFirstFrameDataset(
+        idx.sequences[0], fast_pathway_size=5, scale=0.9, items_per_epoch=40, max_gt=2
+    )
+    saw_nontrivial = 0
+    for i in range(40):
+        item = ds[i]
+        window = item["images"]
+        fv = item["feat_valid"]
+        assert window.shape[0] == 5
+        frames = window[fv]
+        for f in frames[1:]:
+            np.testing.assert_array_equal(frames[0], f)
+        if not np.array_equal(frames[0], frames[0] * 0):
+            saw_nontrivial += 1
+        # gt stays consistent with its own frame: the mask must be inside the
+        # (clipped) box when an object survived
+        if item["frame_valid"][0] and item["gt_valid"][0, 0]:
+            ys, xs = np.where(item["masks"][0, 0])
+            if len(xs):
+                x1, y1, x2, y2 = item["boxes"][0, 0]
+                assert xs.min() >= np.floor(x1) - 2 and xs.max() <= np.ceil(x2) + 2
+                assert ys.min() >= np.floor(y1) - 2 and ys.max() <= np.ceil(y2) + 2
+    assert saw_nontrivial == 40
+
+
+def test_osvos_reflect_pad_order(identical_frames_root):
+    """Reflect padding (`dataset_osvos.py:129-135`): for F=5 with neighbors
+    n1, n2, the window is [n2', n1', f0', n1', n2'] — the same augmented
+    neighbor appears mirrored on both sides."""
+    idx = DavisIndex(identical_frames_root, "train")
+    # distinct constant frames so identity is detectable structurally
+    from PIL import Image
+    for f in range(1, 3):
+        arr = np.full((48, 80, 3), 40 * (f + 1), np.uint8)
+        Image.fromarray(arr).save(
+            f"{identical_frames_root}/JPEGImages/480p/ident/{f:05d}.jpg", quality=100
+        )
+    ds = OsvosFirstFrameDataset(
+        idx.sequences[0], fast_pathway_size=5, scale=0.05, items_per_epoch=4, max_gt=2
+    )
+    item = ds[0]
+    w = item["images"]
+    assert item["feat_valid"].all()
+    np.testing.assert_array_equal(w[0], w[4])  # both are aug(n2)
+    np.testing.assert_array_equal(w[1], w[3])  # both are aug(n1)
+    assert not np.array_equal(w[0], w[1])

@@ -126,3 +126,47 @@ def test_superchunk_matches_staged_path():
             )
             np.testing.assert_array_equal(fused[idx]["valid"], np.asarray(valid[f]))
             idx += 1
+
+
+def test_yuv420_roundtrip_close():
+    """Host rgb->yuv420 then device reconstruction must match the RGB canvas
+    closely on smooth content (chroma subsampling only hurts chroma edges)."""
+    from slowfast_vos_tpu.models.transform import ImageTransform, rgb_to_yuv420
+    import jax.numpy as jnp
+
+    tf = ImageTransform((60, 100), min_size=64, max_size=128)
+    rng = np.random.default_rng(0)
+    # smooth gradient + low-frequency color field
+    yy, xx = np.mgrid[0:60, 0:100].astype(np.float32)
+    base = np.stack([yy * 2, xx * 1.5, (yy + xx)], -1)
+    imgs = np.clip(base[None] + rng.normal(0, 2, (3, 60, 100, 3)), 0, 255).astype(np.uint8)
+
+    ref = np.asarray(tf(jnp.asarray(imgs)))
+    y, uv = rgb_to_yuv420(imgs)
+    got = np.asarray(tf.from_yuv420(jnp.asarray(y), jnp.asarray(uv)))
+    assert got.shape == ref.shape
+    # normalized units: std ~0.225 => 0.1 ~= 5.7 gray levels
+    err = np.abs(got - ref)
+    assert np.percentile(err, 99) < 0.12, np.percentile(err, 99)
+    assert err.mean() < 0.03, err.mean()
+
+
+def test_yuv420_transport_end_to_end(tiny_pipeline):
+    """The yuv420 transport drives the full pipeline: same output contract
+    as rgb transport (shapes, validity, finiteness, original-resolution
+    boxes). Numeric fidelity of the transport itself is pinned by
+    `test_yuv420_roundtrip_close` — detection-level equivalence is NOT
+    asserted here because with random weights the detector is chaotic under
+    the ±1-gray-level chroma loss (real-weight fidelity is a RUNBOOK.md
+    item)."""
+    pipe, variables = tiny_pipeline
+    rng = np.random.default_rng(1)
+    t = 4
+    images = rng.integers(0, 255, (t, 60, 100, 3), dtype=np.uint8)
+    dets = pipe.infer_sequence(variables, images, transport="yuv420")
+    assert len(dets) == t
+    for d in dets:
+        assert d["boxes"].shape == (5, 4)
+        assert np.isfinite(d["boxes"]).all()
+        assert d["union_mask"].shape == (60, 100)
+        assert (d["boxes"][:, [0, 2]] <= 100 + 1e-3).all()

@@ -110,6 +110,49 @@ def test_mask_iou_and_overlay():
     assert out.shape == (10, 10, 3) and out.max() > 0
 
 
+@pytest.fixture(scope="module")
+def mixed_root(tmp_path_factory):
+    """Mixed-resolution tree: wide (48, 96) and tall (96, 48) sequences."""
+    r = str(tmp_path_factory.mktemp("davis_mixed"))
+    make_synthetic_davis(
+        r, num_sequences=2, frames=5, hw=[(48, 96), (96, 48)], num_objects=1
+    )
+    return r
+
+
+def test_mixed_resolution_grouped_batches(mixed_root):
+    """frame_batches on mixed-resolution data: every batch is one aspect
+    bucket on one shared padded canvas (this used to crash on np.stack)."""
+    ds = DavisFrameDataset(mixed_root, "train", max_gt=3)
+    assert len(set(ds.sizes())) == 2
+    batches = list(frame_batches(ds, 2, seed=1))
+    assert batches, "grouped batching yielded nothing"
+    canvases = {b["images"].shape[1:3] for b in batches}
+    # one canvas per aspect bucket, each a multiple of the 32-px divisor
+    assert canvases == {(64, 96), (96, 64)}
+    for b in batches:
+        assert b["masks"].shape[-2:] == b["images"].shape[1:3]
+        assert b["gt_valid"].any()
+        # padded region is zero
+        h = 48 if b["images"].shape[1] == 64 else 96
+        assert (b["images"][:, h:, :, :] == 0).all()
+
+
+def test_mixed_resolution_training_two_canvases(mixed_root):
+    """End-to-end: train_maskrcnn over mixed-resolution data compiles one
+    trainer per canvas and takes finite steps on both."""
+    pipe, model = build_maskrcnn_pipeline(
+        original_hw=(48, 96), min_size=48, max_size=96, cfg=TINY_CFG,
+        backbone_batch=2, chunk=2,
+    )
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    _state, history = train_maskrcnn(
+        pipe, davis_root=mixed_root, output_dir="/tmp/mrcnn_mixed_out",
+        epochs=1, batch_size=2, max_steps_per_epoch=4, variables=variables,
+    )
+    assert np.isfinite(history[0]["loss"])
+
+
 def test_grouping():
     sizes = [(100, 100), (100, 200), (200, 100), (100, 210)]
     groups = group_by_aspect_ratio(sizes, k=3)
