@@ -31,13 +31,15 @@ def main():
     params = mod.init(jax.random.PRNGKey(0), x[:3])
 
     def timeit(name, fn, *args):
-        out = fn(*args)
-        jax.block_until_ready(out)
+        # the tunnel backend defers execution until a device->host fetch
+        # forces a flush, so every timed iteration must END with a scalar
+        # fetch (block_until_ready alone reports ~0 ms for unfetched work);
+        # the fetch adds one ~28 ms RTT, identical across variants.
+        _ = float(jnp.sum(fn(*args)))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            out = fn(*args)
-            jax.block_until_ready(out)
+            out = float(jnp.sum(fn(*args)))
             best = min(best, time.perf_counter() - t0)
         print(f"{name:44s} {best*1e3:8.1f} ms")
         return out

@@ -50,7 +50,18 @@ class Pipeline:
         backbone_batch: int = 8,
         chunk: int = 8,
         superchunk: int = 32,
+        pallas_pool7: bool | None = None,
     ):
+        """`pallas_pool7`: pool the 1000-proposal 7x7 RoIAlign with the
+        Pallas patch-DMA kernel (measured 1.8x over the XLA gather at
+        production shape, scripts/profile_roialign.py). Default: on for TPU
+        backends, off elsewhere (the kernel's interpret mode is slow on
+        CPU). Set False for exact torchvision numerics on rois with aspect
+        ratio beyond ~4:1 (the kernel's documented patch-clamp tail); the
+        10-detection 14x14 mask pool always uses the exact gather form."""
+        if pallas_pool7 is None:
+            pallas_pool7 = jax.default_backend() not in ("cpu",)
+        self.pallas_pool7 = pallas_pool7
         self.superchunk = superchunk
         self.model = model
         self.cfg: DetectionConfig = model.cfg
@@ -101,8 +112,16 @@ class Pipeline:
         # Sequential over frames (lax.map, not vmap): the gather temporaries
         # of RoIAlign scale with frames x rois x bins x channels and OOM HBM
         # if all frames pool at once; per-frame they are a few hundred MB.
+        # The hot 1000-proposal pool rides the Pallas patch-DMA kernel on
+        # TPU (1.8x over the gather form; pallas_pool7 docstring).
+        if self.pallas_pool7:
+            from slowfast_vos_tpu.ops.roi_align_pallas import multiscale_roi_align_pallas
+
+            pool7_fn = multiscale_roi_align_pallas
+        else:
+            pool7_fn = multiscale_roi_align
         pooled7 = jax.lax.map(
-            lambda a: multiscale_roi_align(
+            lambda a: pool7_fn(
                 [a[0], a[1], a[2], a[3]], a[4], ROI_SCALES, output_size=7
             ),
             (*enhanced, proposals),

@@ -33,8 +33,57 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+class TemporalConv(nn.Module):
+    """(kt, k, k) valid-time conv3d computed as kt summed 2D convs.
+
+    XLA's 2D convolution path is markedly better tuned on TPU than conv3d
+    with small temporal kernels (measured 1.44x on the enhance stage at
+    production shape, scripts/profile_enhance.py); the math is identical:
+    out[t] = sum_i conv2d(x[t + i], w[i]). Parameter tree (kernel
+    [kt, k, k, cin, cout] + bias) matches `nn.Conv` exactly, so existing
+    checkpoints load unchanged."""
+
+    features: int
+    kt: int
+    k: int  # spatial kernel side (3 with SAME-style 1-pad, or 1 with none)
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [1, T, H, W, Cin] -> [1, T - kt + 1, H, W, features]."""
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kt, self.k, self.k, x.shape[-1], self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        xc = x.astype(self.dtype)
+        kc = kernel.astype(self.dtype)
+        tout = x.shape[1] - self.kt + 1
+        p = self.k // 2
+        acc = None
+        for i in range(self.kt):
+            o = jax.lax.conv_general_dilated(
+                xc[0, i : i + tout],
+                kc[i],
+                (1, 1),
+                [(p, p), (p, p)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            acc = o if acc is None else acc + o
+        if bias is not None:
+            acc = acc + bias.astype(self.dtype)
+        return acc[None]
 
 
 def pathway_kernel_sizes(pathway_size: int) -> tuple[int, int, int]:
@@ -71,12 +120,8 @@ class SlowFastTemporal(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     def _conv_bn(self, x, features, kt, name, train):
-        x = nn.Conv(
-            features,
-            (kt, 3, 3),
-            padding=[(0, 0), (1, 1), (1, 1)],
-            name=f"{name}_conv",
-            dtype=self.dtype,
+        x = TemporalConv(
+            features, kt=kt, k=3, name=f"{name}_conv", dtype=self.dtype
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name=f"{name}_bn", dtype=jnp.float32
@@ -84,13 +129,8 @@ class SlowFastTemporal(nn.Module):
         return x
 
     def _fuse(self, x, kt, name, train):
-        x = nn.Conv(
-            64,
-            (kt, 1, 1),
-            padding=[(0, 0), (0, 0), (0, 0)],
-            use_bias=False,
-            name=f"{name}_conv",
-            dtype=self.dtype,
+        x = TemporalConv(
+            64, kt=kt, k=1, use_bias=False, name=f"{name}_conv", dtype=self.dtype
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name=f"{name}_bn", dtype=jnp.float32

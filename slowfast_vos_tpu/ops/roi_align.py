@@ -11,10 +11,12 @@ SURVEY.md §2b). Semantics match torchvision's `aligned=False` convention:
   clamped to [0, H-1] and the top edge collapses (y_low==y_high==H-1).
 
 The implementation is a dense gather + weighted sum, fully batched over rois so
-XLA lowers it onto the VPU with no per-roi Python; this gather form is the
-production default in the pipeline. A hand-written Pallas kernel with
-scalar-prefetched roi coordinates lives in `ops/roi_align_pallas.py` as an
-alternative backend (same numerics, selectable where profiling favors it).
+XLA lowers it onto the VPU with no per-roi Python. This exact gather form is
+used for the mask-branch 14x14 pool, all TRAINING pools (it is differentiable),
+and CPU runs; the hot inference 7x7 pool over 1000 proposals/frame rides the
+Pallas patch-DMA kernel on TPU (`ops/roi_align_pallas.py`, measured 1.8x
+faster; exact except for a documented >4:1-aspect patch-clamp tail —
+`Pipeline(pallas_pool7=False)` restores this gather form everywhere).
 """
 from __future__ import annotations
 

@@ -22,12 +22,14 @@ Exposed as `multiscale_roi_align_pallas` with the same API/semantics as
 `ops/roi_align.py`; parity is tested in interpret mode on CPU and verified on
 hardware (sub-1e-2 vs the gather form at f32, MXU rounding).
 
-Measured status (v5e, 1000 rois, DAVIS pyramid): ~29 ms with 4 rois per
-program (vs ~31 ms for the gather formulation and ~33 ms at 1 roi/program).
-The remaining wall is fixed-patch DMA volume (1000 x 1.6 MB of strided row
-copies); per-level patch sizing (P3-P5 fit whole in VMEM) is the known next
-step. Pooling is ~17% of device time for the full pipeline, so the exact
-gather form remains the default.
+Measured status (v5e, 32 frames x 1000 rois, DAVIS pyramid, fetch-forced
+timing — scripts/profile_roialign.py): 122 ms vs 225 ms for the gather
+formulation, so THIS KERNEL is the production inference path for the
+7x7 proposal pool (`Pipeline(pallas_pool7=True)`, the TPU default). The
+gather form remains the default for the mask-branch 14x14 pool, training
+(differentiability), and CPU. Remaining headroom: fixed-patch DMA volume
+(1000 x 1.6 MB of strided row copies); per-level patch sizing (P3-P5 fit
+whole in VMEM) is the known next step.
 
 Caveat: rois wider than PATCH-8 feature pixels at their assigned level
 (aspect ratios beyond ~5:1 at the level-mapper's size cap) have their tail
