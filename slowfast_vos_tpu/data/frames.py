@@ -1,10 +1,12 @@
 """Frame-level DAVIS dataset for the Mask R-CNN fine-tune path.
 
 Rebuild of the reference `DavisDataset` (`code/maskrcnn/maskrcnn_src.py:21-161`):
-a flat index over all frames of all sequences with train/val/test splits by
-index stride (the reference uses fixed index lists; we use the same 80/10/10
-spirit deterministically), plus batching into Trainer windows with fast=1 so
-each batch is just independent frames.
+a flat sorted index over ALL frames of ALL sequence directories
+(`maskrcnn_src.py:27-28`), split train/val/test by sequence membership in the
+ImageSets train/val lists — frames of sequences in `train.txt` are train,
+in `val.txt` val, and everything else test (`maskrcnn_src.py:30-52`), so the
+splits are reference-exact. Batching packs frames into Trainer windows with
+fast=1, so each batch is just independent frames.
 
 Mixed-resolution datasets batch through `data/grouping.py` (the reference's
 `GroupedBatchSampler`, `code/maskrcnn/group_by_aspect_ratio.py:23-196`): each
@@ -19,9 +21,30 @@ from __future__ import annotations
 
 import numpy as np
 
-from slowfast_vos_tpu.data.davis import DavisIndex, decode_frame_annotation
+import os
+from glob import glob
+
+from slowfast_vos_tpu.data.davis import decode_frame_annotation
 from slowfast_vos_tpu.data.grouping import group_by_aspect_ratio
 from PIL import Image
+
+
+def _imageset_sequences(root, year, resolution, subset) -> set[str]:
+    """Sequence names listed in an ImageSets file; empty set if absent.
+
+    2017 layout: one sequence name per line; 2016 (`480p`) layout: per-frame
+    '<img> <mask>' paths, sequence = parent dir (`maskrcnn_src.py:29-40`).
+    The reference requires both train.txt and val.txt to exist; we tolerate a
+    missing file (-> empty set) so partial synthetic trees still load."""
+    sets_dir = os.path.join(root, "ImageSets", year if year == "2017" else resolution)
+    path = os.path.join(sets_dir, f"{subset}.txt")
+    if not os.path.exists(path):
+        return set()
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    if year == "2017":
+        return set(lines)
+    return {ln.split()[0].split("/")[-2] for ln in lines}
 
 
 class DavisFrameDataset:
@@ -31,27 +54,19 @@ class DavisFrameDataset:
         split: str = "train",
         *,
         year: str = "2017",
-        subset: str = "train",
         max_gt: int = 8,
-        seed: int = 63,
+        resolution: str = "480p",
     ):
-        index = DavisIndex(root, subset, year=year)
-        all_frames = [
-            (info.images[i], info.masks[i])
-            for info in index
-            for i in range(len(info.images))
-        ]
-        rng = np.random.default_rng(seed)
-        order = rng.permutation(len(all_frames))
-        n = len(all_frames)
-        n_train = int(0.8 * n)
-        n_val = int(0.1 * n)
-        sel = {
-            "train": order[:n_train],
-            "val": order[n_train : n_train + n_val],
-            "test": order[n_train + n_val :],
-        }[split]
-        self.frames = [all_frames[i] for i in sel]
+        imgs = sorted(glob(os.path.join(root, "JPEGImages", resolution, "*", "*.jpg")))
+        msks = sorted(glob(os.path.join(root, "Annotations", resolution, "*", "*.png")))
+        train_names = _imageset_sequences(root, year, resolution, "train")
+        val_names = _imageset_sequences(root, year, resolution, "val")
+        self.frames = []
+        for ip, mp in zip(imgs, msks):
+            seq = os.path.basename(os.path.dirname(ip))
+            which = "train" if seq in train_names else "val" if seq in val_names else "test"
+            if which == split:
+                self.frames.append((ip, mp))
         self.max_gt = max_gt
         self._sizes: list[tuple[int, int]] | None = None
 

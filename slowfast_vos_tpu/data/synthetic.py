@@ -49,22 +49,27 @@ def make_synthetic_davis(
     hw: tuple[int, int] = (60, 100),
     num_objects: int = 2,
     year: str = "2017",
-    subset: str = "train",
+    subset: str | None = "train",
     seed: int = 63,
     resolution: str = "480p",
+    start: int = 0,
 ):
     """Create a synthetic DAVIS tree under `root`. Returns sequence names.
 
     `hw` may be one (h, w) for a uniform-resolution tree, or a list of
     per-sequence (h, w) pairs (cycled) to build a mixed-resolution tree —
-    used to exercise the aspect-grouped batching path."""
+    used to exercise the aspect-grouped batching path. Call again with
+    `start` past the existing count (and a different `subset`, or None for
+    sequences in no ImageSet) to extend a tree with more subsets — the
+    frame-level dataset splits by ImageSet membership like the reference
+    (`maskrcnn_src.py:30-52`)."""
     rng = np.random.default_rng(seed)
     hws = hw if isinstance(hw, list) else [hw]
     names = []
     img_lines = []
     for s in range(num_sequences):
         h, w = hws[s % len(hws)]
-        name = f"synth{s:02d}"
+        name = f"synth{start + s:02d}"
         names.append(name)
         img_dir = os.path.join(root, "JPEGImages", resolution, name)
         msk_dir = os.path.join(root, "Annotations", resolution, name)
@@ -79,14 +84,15 @@ def make_synthetic_davis(
                 f"/Annotations/{resolution}/{name}/{f:05d}.png"
             )
 
-    if year == "2017":
-        sets_dir = os.path.join(root, "ImageSets", "2017")
-        os.makedirs(sets_dir, exist_ok=True)
-        with open(os.path.join(sets_dir, f"{subset}.txt"), "w") as f:
-            f.write("\n".join(names) + "\n")
-    else:
-        sets_dir = os.path.join(root, "ImageSets", resolution)
-        os.makedirs(sets_dir, exist_ok=True)
-        with open(os.path.join(sets_dir, f"{subset}.txt"), "w") as f:
-            f.write("\n".join(img_lines) + "\n")
+    if subset is not None:
+        if year == "2017":
+            sets_dir = os.path.join(root, "ImageSets", "2017")
+            os.makedirs(sets_dir, exist_ok=True)
+            with open(os.path.join(sets_dir, f"{subset}.txt"), "w") as f:
+                f.write("\n".join(names) + "\n")
+        else:
+            sets_dir = os.path.join(root, "ImageSets", resolution)
+            os.makedirs(sets_dir, exist_ok=True)
+            with open(os.path.join(sets_dir, f"{subset}.txt"), "w") as f:
+                f.write("\n".join(img_lines) + "\n")
     return names

@@ -69,7 +69,7 @@ def train_maskrcnn(
     (the artifact the SlowFast stage consumes, reference `model.py:173`)."""
     os.makedirs(output_dir, exist_ok=True)
     logger = MetricsLogger(os.path.join(output_dir, "logs"), "maskrcnn")
-    dataset = DavisFrameDataset(davis_root, "train", year=year, max_gt=pipe.cfg.max_gt, seed=seed)
+    dataset = DavisFrameDataset(davis_root, "train", year=year, max_gt=pipe.cfg.max_gt)
     steps_per_epoch = max_steps_per_epoch or max(len(dataset) // batch_size, 1)
     schedule = warmup_step_lr(
         lr, steps_per_epoch, warmup_iters=min(1000, steps_per_epoch - 1) or 1

@@ -44,12 +44,19 @@ def tiny():
     return pipe, variables
 
 
-def test_frame_dataset_splits(root):
-    tr = DavisFrameDataset(root, "train", max_gt=3)
-    va = DavisFrameDataset(root, "val", max_gt=3)
-    te = DavisFrameDataset(root, "test", max_gt=3)
-    assert len(tr) + len(va) + len(te) == 10
-    assert len(tr) == 8
+def test_frame_dataset_splits(tmp_path):
+    # Reference-exact split (maskrcnn_src.py:30-52): frames of sequences in
+    # train.txt -> train, val.txt -> val, any other sequence dir -> test.
+    r = str(tmp_path)
+    make_synthetic_davis(r, num_sequences=2, frames=5, hw=(60, 100), num_objects=2)
+    make_synthetic_davis(r, num_sequences=1, frames=4, hw=(60, 100), subset="val", start=2)
+    make_synthetic_davis(r, num_sequences=1, frames=3, hw=(60, 100), subset=None, start=3)
+    tr = DavisFrameDataset(r, "train", max_gt=3)
+    va = DavisFrameDataset(r, "val", max_gt=3)
+    te = DavisFrameDataset(r, "test", max_gt=3)
+    assert (len(tr), len(va), len(te)) == (10, 4, 3)
+    assert all(f"{r}/JPEGImages/480p/synth02/" in p for p, _ in va.frames)
+    assert all(f"{r}/JPEGImages/480p/synth03/" in p for p, _ in te.frames)
     item = tr[0]
     assert item["image"].shape == (60, 100, 3)
     assert item["boxes"].shape == (3, 4)
