@@ -17,6 +17,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
+    import argparse
+
+    argparse.ArgumentParser(description=__doc__).parse_args()
     import jax
     import jax.numpy as jnp
     import numpy as np

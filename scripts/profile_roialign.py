@@ -14,6 +14,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pallas-only", action="store_true",
+                    help="skip the XLA variants (fast kernel iteration)")
+    args = ap.parse_args()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -63,34 +69,35 @@ def main():
         l0, l1, l2, l3, r = args
         return multiscale_roi_align([l0, l1, l2, l3], r, SCALES, output_size=7)
 
-    ref = timeit(
-        "lax.map per frame (current)",
-        jax.jit(lambda f0, f1, f2, f3, r: jax.lax.map(pool_one, (f0, f1, f2, f3, r)).sum()),
-        *feats, rois,
-    )
-
-    for g in (2, 4, 8):
-        def grouped(f0, f1, f2, f3, r, g=g):
-            rs = lambda x: x.reshape(T // g, g, *x.shape[1:])
-            return jax.lax.map(
-                lambda a: jax.vmap(lambda l0, l1, l2, l3, rr: multiscale_roi_align(
-                    [l0, l1, l2, l3], rr, SCALES, output_size=7))(*a),
-                (rs(f0), rs(f1), rs(f2), rs(f3), rs(r)),
-            ).sum()
-        out = timeit(f"map over {T//g} groups of vmap {g}", jax.jit(grouped), *feats, rois)
-        del out
-
-    try:
-        out = timeit(
-            "full vmap",
-            jax.jit(lambda f0, f1, f2, f3, r: jax.vmap(
-                lambda l0, l1, l2, l3, rr: multiscale_roi_align([l0, l1, l2, l3], rr, SCALES, output_size=7)
-            )(f0, f1, f2, f3, r).sum()),
+    if not args.pallas_only:
+        ref = timeit(
+            "lax.map per frame (current)",
+            jax.jit(lambda f0, f1, f2, f3, r: jax.lax.map(pool_one, (f0, f1, f2, f3, r)).sum()),
             *feats, rois,
         )
-        del out
-    except Exception as e:
-        print("full vmap failed:", type(e).__name__, str(e)[:120])
+
+        for g in (2, 4, 8):
+            def grouped(f0, f1, f2, f3, r, g=g):
+                rs = lambda x: x.reshape(T // g, g, *x.shape[1:])
+                return jax.lax.map(
+                    lambda a: jax.vmap(lambda l0, l1, l2, l3, rr: multiscale_roi_align(
+                        [l0, l1, l2, l3], rr, SCALES, output_size=7))(*a),
+                    (rs(f0), rs(f1), rs(f2), rs(f3), rs(r)),
+                ).sum()
+            out = timeit(f"map over {T//g} groups of vmap {g}", jax.jit(grouped), *feats, rois)
+            del out
+
+        try:
+            out = timeit(
+                "full vmap",
+                jax.jit(lambda f0, f1, f2, f3, r: jax.vmap(
+                    lambda l0, l1, l2, l3, rr: multiscale_roi_align([l0, l1, l2, l3], rr, SCALES, output_size=7)
+                )(f0, f1, f2, f3, r).sum()),
+                *feats, rois,
+            )
+            del out
+        except Exception as e:
+            print("full vmap failed:", type(e).__name__, str(e)[:120])
 
     try:
         out = timeit(
@@ -105,8 +112,6 @@ def main():
     except Exception as e:
         print("pallas failed:", type(e).__name__, str(e)[:200])
 
-    # numerical sanity: grouped == per-frame
-    del ref
 
 
 if __name__ == "__main__":

@@ -23,13 +23,16 @@ Exposed as `multiscale_roi_align_pallas` with the same API/semantics as
 hardware (sub-1e-2 vs the gather form at f32, MXU rounding).
 
 Measured status (v5e, 32 frames x 1000 rois, DAVIS pyramid, fetch-forced
-timing — scripts/profile_roialign.py): 122 ms vs 225 ms for the gather
-formulation, so THIS KERNEL is the production inference path for the
-7x7 proposal pool (`Pipeline(pallas_pool7=True)`, the TPU default). The
-gather form remains the default for the mask-branch 14x14 pool, training
-(differentiability), and CPU. Remaining headroom: fixed-patch DMA volume
-(1000 x 1.6 MB of strided row copies); per-level patch sizing (P3-P5 fit
-whole in VMEM) is the known next step.
+timing — scripts/profile_roialign.py): 114 ms vs 225 ms for the gather
+formulation. Each roi fetches the SMALLEST tier patch (24/40/56 px) that
+covers its sample span at its assigned level (DMA-only floor measured at
+38 ms), and the interp matrices are precomputed in XLA. The remaining wall
+is the per-roi [7,PATCH]@[PATCH,PATCH*C] MXU matmul whose M=7 occupies 7 of
+128 systolic rows — the structural floor of a per-roi separable formulation.
+THIS KERNEL is the production inference path for the 7x7 proposal pool
+(`Pipeline(pallas_pool7=True)`, the TPU default). The gather form remains
+the default for the mask-branch 14x14 pool, training (differentiability),
+and CPU.
 
 Caveat: rois wider than PATCH-8 feature pixels at their assigned level
 (aspect ratios beyond ~5:1 at the level-mapper's size cap) have their tail
@@ -53,6 +56,12 @@ from slowfast_vos_tpu.ops.roi_align import fpn_level_assignment
 # at any level for DAVIS-scale canvases) plus the up-to-7px origin alignment
 # slack. Multiple of 8 (sublane tiling).
 PATCH = 56
+
+# DMA size tiers: each roi copies the smallest tier patch that covers its
+# clamped sample span (rows/cols beyond a roi's tier are never referenced by
+# its interpolation weights, computed host-side in `_roi_tiers`). Must end
+# with PATCH; multiples of 8.
+TIERS = (24, 40, PATCH)
 
 
 def _build_interp(start, bin_size, extent, origin, out_size: int, sr: int, patch: int):
@@ -79,67 +88,83 @@ ROIS_PER_PROGRAM = 4
 
 
 def _kernel(
-    iparams_ref,  # SMEM int32 [N, 4]: level, py, px, _
-    fparams_ref,  # SMEM float32 [N, 8]: y1, x1, bin_h, bin_w, h, w, _, _
+    iparams_ref,  # SMEM int32 [N, 4]: level, py, px, tier index
+    ay_ref,  # VMEM [N, 8|16, PATCH]: all rois' row-interp matrices (resident)
+    ax_ref,  # VMEM [N, 8|16, PATCH]: all rois' col-interp matrices (resident)
     f0, f1, f2, f3,  # HBM level features [H_l, W_l, C]
     out_ref,  # VMEM [B, out, out, C]
     patch_ref,  # VMEM scratch [B, PATCH, PATCH, C]
     sem,  # DMA semaphores [B]
     *,
     out_size: int,
-    sr: int,
 ):
     """B rois per program: issue all B patch DMAs up front (they pipeline in
     the DMA engine), then compute each pooled output as it completes —
     amortizing the per-grid-step overhead that bound the 1-roi/program
-    version."""
+    version. The interpolation matrices are PRECOMPUTED vectorized in XLA
+    and resident in VMEM for the whole call, so the body is just two MXU
+    matmuls per roi. Each roi copies only its
+    TIER-sized sub-patch; its weights never reference rows/cols beyond the
+    tier, so the stale scratch content there is multiplied by exact zeros —
+    the first grid step zeroes the scratch once so that content is finite
+    (0 * NaN would poison the matmul)."""
     r = pl.program_id(0)
     levels = (f0, f1, f2, f3)
     b = ROIS_PER_PROGRAM
 
+    @pl.when(r == 0)
+    def _():
+        patch_ref[...] = jnp.zeros_like(patch_ref)
+
     def dma(slot):
         ri = r * b + slot
         lv = iparams_ref[ri, 0]
+        tr = iparams_ref[ri, 3]
         py = pl.multiple_of(iparams_ref[ri, 1], 8)
         px = pl.multiple_of(iparams_ref[ri, 2], 8)
         for li, src in enumerate(levels):
-            @pl.when(lv == li)
-            def _():
-                pltpu.make_async_copy(
-                    src.at[pl.ds(py, PATCH), pl.ds(px, PATCH), :],
-                    patch_ref.at[slot],
-                    sem.at[slot],
-                ).start()
+            for ti, tsize in enumerate(TIERS):
+                @pl.when((lv == li) & (tr == ti))
+                def _():
+                    pltpu.make_async_copy(
+                        src.at[pl.ds(py, tsize), pl.ds(px, tsize), :],
+                        patch_ref.at[slot, pl.ds(0, tsize), pl.ds(0, tsize), :],
+                        sem.at[slot],
+                    ).start()
 
     for slot in range(b):
         dma(slot)
 
     c = patch_ref.shape[-1]
     for slot in range(b):
-        # Wait (size-based semaphore wait; the extent is level-independent).
-        pltpu.make_async_copy(
-            f0.at[pl.ds(0, PATCH), pl.ds(0, PATCH), :], patch_ref.at[slot], sem.at[slot]
-        ).wait()
         ri = r * b + slot
-        py = pl.multiple_of(iparams_ref[ri, 1], 8)
-        px = pl.multiple_of(iparams_ref[ri, 2], 8)
-        y1 = fparams_ref[ri, 0]
-        x1 = fparams_ref[ri, 1]
-        bin_h = fparams_ref[ri, 2]
-        bin_w = fparams_ref[ri, 3]
-        h = fparams_ref[ri, 4]
-        w = fparams_ref[ri, 5]
-
-        a_y = _build_interp(y1, bin_h, h, py.astype(jnp.float32), out_size, sr, PATCH)
-        a_x = _build_interp(x1, bin_w, w, px.astype(jnp.float32), out_size, sr, PATCH)
-
-        patch = patch_ref[slot].astype(jnp.float32)
+        tr = iparams_ref[ri, 3]
+        # Size-matched semaphore wait per tier (the wait is byte-counted).
+        for ti, tsize in enumerate(TIERS):
+            @pl.when(tr == ti)
+            def _():
+                pltpu.make_async_copy(
+                    f0.at[pl.ds(0, tsize), pl.ds(0, tsize), :],
+                    patch_ref.at[slot, pl.ds(0, tsize), pl.ds(0, tsize), :],
+                    sem.at[slot],
+                ).wait()
+        # Matmuls run in the FEATURE dtype (bf16 on TPU): a native-dtype MXU
+        # pass instead of upcasting the whole 56^2 patch to f32 and paying
+        # the multi-pass f32 MXU decomposition. Accumulation stays f32 via
+        # preferred_element_type; bf16 interp weights cost ~0.4% relative —
+        # inside the bf16 pipeline's own noise (f32 inputs keep f32 weights,
+        # so interpret-mode parity tests are exact).
+        dt = patch_ref.dtype
+        patch = patch_ref[slot]
         # tmp[p, w*c] = A_y @ patch
-        tmp = jnp.dot(a_y, patch.reshape(PATCH, PATCH * c), preferred_element_type=jnp.float32)
-        tmp = tmp.reshape(out_size, PATCH, c)
+        tmp = jnp.dot(
+            ay_ref[ri, :out_size], patch.reshape(PATCH, PATCH * c),
+            preferred_element_type=jnp.float32,
+        )
+        tmp = tmp.reshape(out_size, PATCH, c).astype(dt)
         # out[p, q, c] = sum_w a_x[q, w] tmp[p, w, c]
         out = jax.lax.dot_general(
-            a_x, tmp, dimension_numbers=(((1,), (1,)), ((), ())),
+            ax_ref[ri, :out_size], tmp, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [q, p, c]
         out_ref[slot] = jnp.transpose(out, (1, 0, 2)).astype(out_ref.dtype)
@@ -188,20 +213,46 @@ def multiscale_roi_align_pallas(
     py = (py // 8) * 8
     px = (px // 8) * 8
 
-    iparams = jnp.stack([levels, py, px, jnp.zeros_like(levels)], axis=1)
-    fparams = jnp.stack(
-        [y1, x1, bin_h, bin_w, hs, ws, jnp.zeros_like(y1), jnp.zeros_like(y1)], axis=1
+    # Smallest DMA tier covering the roi's clamped sample span. The largest
+    # referenced patch row is floor(clip(max sample coord, 0, extent-1) -
+    # origin) + 1, and max sample coord < max(y2, y1+1); rois needing more
+    # than the top tier keep the documented edge-clamp tail.
+    y2e = jnp.maximum(y2, y1 + 1.0)
+    x2e = jnp.maximum(x2, x1 + 1.0)
+    need_y = jnp.floor(jnp.minimum(y2e, hs - 1.0) - py.astype(jnp.float32)) + 2.0
+    need_x = jnp.floor(jnp.minimum(x2e, ws - 1.0) - px.astype(jnp.float32)) + 2.0
+    need = jnp.maximum(need_y, need_x)
+    tiers = sum(
+        (need > float(tsize)).astype(jnp.int32) for tsize in TIERS[:-1]
     )
+
+    iparams = jnp.stack([levels, py, px, tiers], axis=1)
+
+    # Interpolation matrices for ALL rois, built once as one fused vectorized
+    # XLA op (vs per-roi inside the kernel, where the tiny-vector VPU work
+    # serialized); out rows padded to the sublane multiple, cast to the
+    # feature dtype so the kernel matmul is a single native MXU pass.
+    dtype = feats[0].dtype
+    out_rows = -(-output_size // 8) * 8
+    build = jax.vmap(
+        lambda st, bs, ext, org: _build_interp(
+            st, bs, ext, org, output_size, sampling_ratio, PATCH
+        )
+    )
+    pad_rows = ((0, 0), (0, out_rows - output_size), (0, 0))
+    a_y = jnp.pad(build(y1, bin_h, hs, py.astype(jnp.float32)), pad_rows).astype(dtype)
+    a_x = jnp.pad(build(x1, bin_w, ws, px.astype(jnp.float32)), pad_rows).astype(dtype)
+
     # Pad the roi axis to a ROIS_PER_PROGRAM multiple (pad rois are level-0
     # origin-0 no-ops whose outputs are sliced off).
     b = ROIS_PER_PROGRAM
     n_pad = -(-n // b) * b
     if n_pad != n:
         iparams = jnp.pad(iparams, ((0, n_pad - n), (0, 0)))
-        fparams = jnp.pad(fparams, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+        a_y = jnp.pad(a_y, ((0, n_pad - n), (0, 0), (0, 0)))
+        a_x = jnp.pad(a_x, ((0, n_pad - n), (0, 0), (0, 0)))
 
     # Pad pyramid levels to the aligned extents so every PATCH copy is legal.
-    dtype = feats[0].dtype
     padded_feats = [
         jnp.pad(
             f,
@@ -211,9 +262,16 @@ def multiscale_roi_align_pallas(
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(n_pad // b,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        in_specs=[
+            # The full interp-matrix arrays live in VMEM for the whole call
+            # (~1 MB at production shape); the constant index map hoists
+            # their copy out of the grid loop.
+            pl.BlockSpec((n_pad, out_rows, PATCH), lambda r, *_: (0, 0, 0)),
+            pl.BlockSpec((n_pad, out_rows, PATCH), lambda r, *_: (0, 0, 0)),
+        ]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=pl.BlockSpec(
             (b, output_size, output_size, c),
             lambda r, *_: (r, 0, 0, 0),
@@ -226,9 +284,9 @@ def multiscale_roi_align_pallas(
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, out_size=output_size, sr=sampling_ratio),
+        functools.partial(_kernel, out_size=output_size),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, output_size, output_size, c), dtype),
         interpret=interpret,
-    )(iparams, fparams, *padded_feats)
+    )(iparams, a_y, a_x, *padded_feats)
     return out[:n]

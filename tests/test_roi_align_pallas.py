@@ -19,7 +19,24 @@ def test_pallas_matches_gather(out_size):
     scales = (1 / 4, 1 / 8, 1 / 16, 1 / 32)
     xy = rng.uniform(-10, 300, (24, 2))
     wh = rng.uniform(4, 120, (24, 2))
-    rois = jnp.asarray(np.concatenate([xy, xy + wh], 1).astype(np.float32))
+    extra = np.array(
+        [
+            [0.0, 0.0, 1.5, 1.5],        # sub-pixel box
+            [330.0, 188.0, 345.0, 200.0],  # past the bottom-right edge
+            [50.0, 50.0, 50.0, 50.0],    # degenerate (zero area)
+            [10.0, 80.0, 190.0, 125.0],  # 4:1 aspect -> full 56px tier, no fallback
+            [-20.0, -20.0, 4.0, 4.0],    # mostly off-canvas
+        ],
+        np.float32,
+    )
+    rois = jnp.asarray(
+        np.concatenate([np.concatenate([xy, xy + wh], 1).astype(np.float32), extra])
+    )
+
+    # The size-tier machinery must actually be exercised: this roi set spans
+    # every DMA tier (small/medium/full patch).
+    spans = np.asarray(rois[:, 2:] - rois[:, :2]).max(1)
+    assert (spans < 16).any() and (spans > 150).any()
 
     want = np.asarray(multiscale_roi_align(feats, rois, scales, output_size=out_size))
     got = np.asarray(
