@@ -162,49 +162,38 @@ def fastrcnn_loss(class_logits, box_regression, samples):
 def project_masks_on_boxes(mask_stack, gt_idx, boxes, out_size):
     """Sample gt masks at roi boxes into [R, out, out] binary targets.
 
-    torchvision projects gt masks with roi_align(spatial_scale=1); here the
-    sample points gather straight out of the per-frame gt mask stack
-    [G, H, W] indexed by each roi's matched gt — no per-roi mask tensor is
-    ever materialized (important: G x canvas is MBs, R x canvas would be GBs).
-    Sampling ratio is fixed at 2 (torchvision uses adaptive; sub-pixel
-    difference on binary targets).
+    torchvision projects gt masks with roi_align(spatial_scale=1). Bilinear
+    RoIAlign is separable, so the projection is computed as two DENSE
+    batched matmuls per roi, A_y @ mask[gt] @ A_x^T, with the 1-D
+    interpolation matrices of `ops/roi_align_mm` (same taps, borders and
+    sr-tap averaging — the 2-D tap mean factorizes into the product of the
+    1-D row means). The previous formulation gathered the 4 bilinear taps
+    out of the [G, Hc, Wc] canvas mask stack; those 4 gathers were the
+    single largest cost of the train step (4 x ~11 ms/step on v5e), while
+    the dense form is MXU work over the same planes. Sampling ratio is
+    fixed at 2 (torchvision uses adaptive; sub-pixel difference on binary
+    targets).
     """
+    from slowfast_vos_tpu.ops.roi_align_mm import _interp_matrix_1d
+
     h, w = mask_stack.shape[-2:]
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     roi_w = jnp.maximum(x2 - x1, 1.0)
     roi_h = jnp.maximum(y2 - y1, 1.0)
     sr = 2
-    s = out_size * sr
-    steps = jnp.arange(s, dtype=jnp.float32) + 0.5
-    ys = y1[:, None] + steps[None, :] * (roi_h / out_size / sr)[:, None]  # [R, S]
-    xs = x1[:, None] + steps[None, :] * (roi_w / out_size / sr)[:, None]
-
-    my = (ys >= -1.0) & (ys <= h)
-    mx = (xs >= -1.0) & (xs <= w)
-    mask_ok = my[:, :, None] & mx[:, None, :]
-    y = jnp.clip(ys, 0.0, h - 1.0)
-    x = jnp.clip(xs, 0.0, w - 1.0)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y1i = jnp.minimum(y0 + 1, h - 1)
-    x1i = jnp.minimum(x0 + 1, w - 1)
-    ly = y - y0
-    lx = x - x0
-
-    g = gt_idx[:, None, None]
-
-    def gat(yi, xi):
-        return mask_stack[g, yi[:, :, None], xi[:, None, :]]
-
-    val = (
-        gat(y0, x0) * ((1 - ly)[:, :, None] * (1 - lx)[:, None, :])
-        + gat(y0, x1i) * ((1 - ly)[:, :, None] * lx[:, None, :])
-        + gat(y1i, x0) * (ly[:, :, None] * (1 - lx)[:, None, :])
-        + gat(y1i, x1i) * (ly[:, :, None] * lx[:, None, :])
+    a_y = _interp_matrix_1d(y1, roi_h / out_size, h, out_size, sr, jnp.float32)
+    a_x = _interp_matrix_1d(x1, roi_w / out_size, w, out_size, sr, jnp.float32)
+    msel = mask_stack[gt_idx].astype(jnp.float32)  # [R, H, W] plane select
+    # tmp[r, i, x] = sum_y a_y[r, i, y] msel[r, y, x]
+    tmp = jax.lax.dot_general(
+        a_y, msel, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     )
-    val = jnp.where(mask_ok, val, 0.0)
-    r = boxes.shape[0]
-    return val.reshape(r, out_size, sr, out_size, sr).mean(axis=(2, 4))
+    # out[r, i, j] = sum_x tmp[r, i, x] a_x[r, j, x]
+    return jax.lax.dot_general(
+        tmp, a_x, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def maskrcnn_loss(mask_logits, targets, labels, valid):

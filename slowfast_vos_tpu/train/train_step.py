@@ -177,7 +177,11 @@ class Trainer:
             lambda k, pr, pv, gb, gl, gv: select_training_samples(k, pr, pv, gb, gl, gv, cfg)
         )(skeys, proposals, pvalid, gt_boxes, batch["labels"], gt_valid)
 
-        # Box branch.
+        # Box branch. Gather-form RoIAlign: differentiable (backward is an
+        # XLA scatter), and measured equal to the matmul form in the full
+        # step (the mm form wins standalone — 5.4 vs 9.3 ms/frame fwd+bwd —
+        # but its [block, 7, W, C] temporaries cost that back in HBM traffic
+        # under the 2-frame vmap).
         pooled7 = jax.vmap(
             lambda l0, l1, l2, l3, rois: multiscale_roi_align(
                 [l0, l1, l2, l3], rois, ROI_SCALES, output_size=7

@@ -98,3 +98,60 @@ def test_invalid_frames_produce_zero_trainable_loss(setup):
     _, metrics = trainer.step(state, jax.random.PRNGKey(2), batch)
     assert float(metrics["loss_classifier"]) == 0.0
     assert float(metrics["loss_mask"]) == 0.0
+
+
+def test_project_masks_on_boxes_matches_gather_oracle():
+    """The separable-matmul projection must match the 4-tap bilinear gather
+    formulation (torchvision roi_align(spatial_scale=1) semantics) exactly,
+    including border clamping and out-of-range zeroing."""
+    from slowfast_vos_tpu.models.heads import project_masks_on_boxes
+
+    rng = np.random.default_rng(7)
+    g, h, w, out = 4, 40, 64, 14
+    masks = (rng.random((g, h, w)) > 0.5).astype(np.float32)
+    boxes = np.array(
+        [
+            [5.3, 7.1, 30.2, 25.9],
+            [-6.0, -3.0, 10.0, 12.0],   # crosses the top-left border
+            [50.0, 30.0, 80.0, 55.0],   # crosses the bottom-right border
+            [12.0, 9.0, 12.4, 9.2],     # sub-pixel (min-size 1 kicks in)
+            [0.0, 0.0, 63.0, 39.0],     # whole canvas
+        ],
+        np.float32,
+    )
+    gt_idx = np.array([0, 1, 2, 3, 1], np.int32)
+
+    sr = 2
+    s = out * sr
+    want = np.zeros((len(boxes), out, out), np.float32)
+    for r, (bx, gi) in enumerate(zip(boxes, gt_idx)):
+        x1, y1, x2, y2 = bx
+        rh, rw = max(y2 - y1, 1.0), max(x2 - x1, 1.0)
+        steps = np.arange(s) + 0.5
+        ys = y1 + steps * rh / s
+        xs = x1 + steps * rw / s
+        acc = np.zeros((s, s), np.float32)
+        for i, yc in enumerate(ys):
+            for j, xc in enumerate(xs):
+                if not (-1.0 <= yc <= h and -1.0 <= xc <= w):
+                    continue
+                y = min(max(yc, 0.0), h - 1.0)
+                x = min(max(xc, 0.0), w - 1.0)
+                y0, x0 = int(np.floor(y)), int(np.floor(x))
+                y1i, x1i = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+                ly, lx = y - y0, x - x0
+                m = masks[gi]
+                acc[i, j] = (
+                    m[y0, x0] * (1 - ly) * (1 - lx)
+                    + m[y0, x1i] * (1 - ly) * lx
+                    + m[y1i, x0] * ly * (1 - lx)
+                    + m[y1i, x1i] * ly * lx
+                )
+        want[r] = acc.reshape(out, sr, out, sr).mean(axis=(1, 3))
+
+    got = np.asarray(
+        project_masks_on_boxes(
+            jnp.asarray(masks), jnp.asarray(gt_idx), jnp.asarray(boxes), out
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
