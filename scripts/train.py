@@ -23,6 +23,8 @@ def main():
     p.add_argument("--continue-training", action="store_true")
     p.add_argument("--init-checkpoint", default=None,
                    help="orbax variables checkpoint or reference .pth to start from")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also write TensorBoard event files (reference train.py:82)")
     args = p.parse_args()
 
     import jax
@@ -50,6 +52,7 @@ def main():
         seed=args.seed,
         continue_training=args.continue_training,
         variables=variables,
+        tensorboard=args.tensorboard,
     )
     for h in history:
         ev = h["eval"] or {}

@@ -123,3 +123,47 @@ def coco_map(predictions, ground_truths, *, kind: str = "bbox", classes=None):
             "AP50": float(np.nanmean(ap_table[:, 0])),
             "per_class": per_class,
         }
+
+
+def merge_across_processes(image_ids, predictions, ground_truths):
+    """Merge per-image detection shards from all processes before scoring.
+
+    The reference evaluates COCO metrics distributed: every process
+    accumulates predictions for its shard of images, then the shards are
+    pickled, all-gathered and deduplicated by image id before one process
+    computes the final numbers (`code/maskrcnn/coco_eval.py:163-201`,
+    `utils.py:79-119`). TPU-native equivalent: the per-image dicts are
+    static-shape padded arrays (this framework's discipline), so the whole
+    shard is a pytree that `multihost_utils.process_allgather` moves over
+    the ICI/DCN collectives — no pickle transport. Duplicate image ids keep
+    their first (lowest-rank) occurrence, like the reference's np.unique
+    merge. Every process must carry the same number of images (pad by
+    repeating an image; the dedup drops it). Single-process: identity.
+
+    image_ids: [B] ints; predictions/ground_truths: parallel length-B lists
+    of equal-shape dict-of-array entries. Returns the merged
+    (image_ids, predictions, ground_truths) lists.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return image_ids, predictions, ground_truths
+
+    from jax.experimental import multihost_utils
+
+    def stack(items):
+        return {
+            k: np.stack([np.asarray(it[k]) for it in items]) for k in items[0]
+        }
+
+    payload = (np.asarray(image_ids, np.int64), stack(predictions), stack(ground_truths))
+    ids_all, preds_all, gts_all = multihost_utils.process_allgather(payload)
+    # [P, B, ...] -> flat [P*B, ...]
+    ids_flat = np.asarray(ids_all).reshape(-1)
+    flat = lambda d: {k: np.asarray(v).reshape(-1, *np.asarray(v).shape[2:]) for k, v in d.items()}
+    preds_flat, gts_flat = flat(preds_all), flat(gts_all)
+    _, first = np.unique(ids_flat, return_index=True)
+    keep = np.sort(first)
+    merged_ids = [int(i) for i in ids_flat[keep]]
+    unstack = lambda d: [{k: v[i] for k, v in d.items()} for i in keep]
+    return merged_ids, unstack(preds_flat), unstack(gts_flat)

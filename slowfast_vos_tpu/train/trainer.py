@@ -42,10 +42,13 @@ def train_unsupervised(
     eval_every_epoch: bool = True,
     max_windows_per_epoch: int | None = None,
     variables: dict | None = None,
+    tensorboard: bool = False,
 ):
-    """Returns (final TrainState, history list of per-epoch dicts)."""
+    """Returns (final TrainState, history list of per-epoch dicts).
+    `tensorboard=True` mirrors every scalar to TensorBoard event files like
+    the reference's SummaryWriter (`code/train.py:82,103,109-111`)."""
     os.makedirs(output_dir, exist_ok=True)
-    logger = MetricsLogger(os.path.join(output_dir, "logs"), "train")
+    logger = MetricsLogger(os.path.join(output_dir, "logs"), "train", tensorboard=tensorboard)
     trainer = Trainer(pipe, lr=lr)
 
     if variables is None:

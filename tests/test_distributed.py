@@ -74,6 +74,32 @@ marker = []
 save_on_master(lambda: marker.append(1))
 assert bool(marker) == is_main_process()
 
+# COCO eval shard merge (reference coco_eval.py:163-201): each rank scores a
+# shard (one own image + the shared image 0); the merge must dedup image 0
+# and reproduce the single-process result over the union.
+from slowfast_vos_tpu.eval.coco import coco_map, merge_across_processes
+
+def img(seed):
+    r = np.random.default_rng(seed)
+    boxes = np.sort(r.uniform(0, 50, (2, 2, 2)), axis=1).reshape(2, 4)  # x1<=x2, y1<=y2
+    return (
+        {"boxes": boxes + r.uniform(0, 2, (2, 4)), "labels": np.ones(2, np.int64),
+         "scores": r.uniform(0.5, 1.0, 2), "valid": np.ones(2, bool)},
+        {"boxes": boxes, "labels": np.ones(2, np.int64), "valid": np.ones(2, bool)},
+    )
+
+shared = img(100)
+own = img(rank)
+ids = [100, rank]
+preds = [shared[0], own[0]]
+gts = [shared[1], own[1]]
+mids, mpreds, mgts = merge_across_processes(ids, preds, gts)
+assert sorted(mids) == [0, 1, 100], mids
+want_p, want_g = zip(*(img(i) for i in (100, 0, 1)))
+got = coco_map(mpreds, mgts, kind="bbox")
+want = coco_map(list(want_p), list(want_g), kind="bbox")
+assert abs(got["mAP"] - want["mAP"]) < 1e-9, (got, want)
+
 print(f"WORKER_OK rank={rank}", force=True)  # gated print: force on non-master
 """
 

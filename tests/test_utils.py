@@ -29,3 +29,20 @@ def test_progress_logger(capsys):
     out = capsys.readouterr().out
     assert "test [0/5]" in out and "Total time" in out
     assert log.meters["loss"].count == 5
+
+
+def test_metrics_logger_tensorboard_sink(tmp_path):
+    """tensorboard=True mirrors scalars to event files (reference
+    SummaryWriter parity, code/train.py:82)."""
+    import glob
+
+    from slowfast_vos_tpu.utils.metrics import MetricsLogger
+
+    lg = MetricsLogger(str(tmp_path), "tbtest", tensorboard=True)
+    lg.scalar("train/batch_loss", 1.5, 0)
+    lg.scalars({"jf": 0.5, "time": 2.0}, 1, prefix="eval/")
+    lg.close()
+    events = glob.glob(str(tmp_path / "tb-tbtest-*" / "events.out.tfevents.*"))
+    assert events, "no TensorBoard event file written"
+    jsonl = glob.glob(str(tmp_path / "tbtest-*.jsonl"))
+    assert jsonl and len(open(jsonl[0]).readlines()) == 3
