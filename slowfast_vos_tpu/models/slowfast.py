@@ -27,7 +27,10 @@ A unit test verifies sequence mode == per-window mode to float tolerance.
 
 One divergence: training-mode BatchNorm normalizes over the whole clip here
 rather than per window. At inference (running stats) the two are bit-identical;
-for training it changes only BN statistics, not model capacity.
+for training it changes only BN statistics, not model capacity. Quantified
+(tests/test_slowfast.py BN A/B): the relative output difference shrinks as
+1/spatial-extent — 2.2% at 48x48 feature maps, 1.1% at 96x96, ~0.5%
+extrapolated at the production 200x336 P2 map.
 """
 from __future__ import annotations
 

@@ -63,3 +63,51 @@ def test_training_mode_updates_batch_stats():
     before = variables["batch_stats"]["slow1_bn"]["mean"]
     after = updates["batch_stats"]["slow1_bn"]["mean"]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_train_bn_clip_vs_per_window_divergence_is_small():
+    """Quantify the documented BN divergence (slowfast.py module docstring):
+    in training our BN normalizes over one n_center+halo window pass while
+    the reference normalizes per sliding F-frame window. This A/B computes
+    the same two center frames both ways and bounds the relative output
+    difference — it must stay within a few percent of the activation scale
+    (it is a statistics change, not a capacity change), and must be EXACTLY
+    zero in eval mode."""
+    slow = fast = 3
+    n_center = 2
+    # Spatial size matters: BN batch stats are estimated over T*H*W samples,
+    # so a tiny map exaggerates the divergence (14% at 8x8); 48x48 is the
+    # smallest size representative of the production 200x336 P2 map.
+    t, h, w, c = n_center + fast - 1, 48, 48, 16  # 4-frame window
+    rng = np.random.default_rng(3)
+    feats = jnp.asarray(rng.normal(size=(t, h, w, c)).astype(np.float32))
+
+    mod = SlowFastTemporal(slow=slow, fast=fast, channels=c, dtype=jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(0), feats)
+
+    # A: our formulation — one train-mode pass over the whole window.
+    ours, _ = mod.apply(
+        variables, feats, train=True, pre_padded=True, mutable=["batch_stats"]
+    )
+    assert ours.shape == (n_center, h, w, 256)
+
+    # B: reference formulation — one train-mode pass per F-frame window.
+    ref = []
+    for f in range(n_center):
+        win, _ = mod.apply(
+            variables, feats[f : f + fast], train=True, pre_padded=True,
+            mutable=["batch_stats"],
+        )
+        ref.append(win[0])
+    ref = jnp.stack(ref)
+
+    scale = float(jnp.abs(ref).mean())
+    rel = float(jnp.abs(ours - ref).mean()) / scale
+    assert rel < 0.05, f"train-mode BN clip-vs-window divergence {rel:.4f}"
+
+    # Eval mode: running stats, no batch statistics -> bit-equal.
+    ours_eval = mod.apply(variables, feats, pre_padded=True)
+    ref_eval = jnp.stack(
+        [mod.apply(variables, feats[f : f + fast], pre_padded=True)[0] for f in range(n_center)]
+    )
+    np.testing.assert_allclose(np.asarray(ours_eval), np.asarray(ref_eval), atol=2e-4)
