@@ -16,7 +16,7 @@ import time
 import numpy as np
 from PIL import Image
 
-from slowfast_vos_tpu.data.davis import DavisIndex, load_sequence
+from slowfast_vos_tpu.data.davis import DavisIndex, load_sequence, save_palette_mask
 from slowfast_vos_tpu.eval.scorer import DavisScorer, summarize
 
 
@@ -45,7 +45,15 @@ def extract_masks(
     threshold: float = 0.5,
     progress=None,
 ):
-    """Run inference and write per-frame union masks as binary PNGs."""
+    """Run inference and write per-frame union masks as PNGs.
+
+    Year 2016 writes 0/255 binary PNGs — byte-compatible with the
+    reference's on-disk contract (`davis_evaluate.py:36-44` saves
+    union*255, the scorer divides by 255 only for 2016,
+    `results.py:30-35`). Year 2017 writes the union as palette id 1: the
+    2017 reader treats pixel values as object ids (`max()` = object
+    count), so a 255-valued mask would read as 255 proposals there —
+    a path the reference never exercised (it only ever scored 2016)."""
     index = DavisIndex(davis_root, subset, year=year, sequences=sequences)
     for info in index:
         seq_dir = os.path.join(out_dir, info.name)
@@ -54,9 +62,11 @@ def extract_masks(
         dets = pipe.infer_sequence(variables, seq["images"])  # uint8 straight in
         for i, det in enumerate(dets):
             mask = union_mask(det, threshold)
-            Image.fromarray((mask * 255).astype(np.uint8)).save(
-                os.path.join(seq_dir, f"{i:05d}.png")
-            )
+            path = os.path.join(seq_dir, f"{i:05d}.png")
+            if year == "2016":
+                Image.fromarray((mask * 255).astype(np.uint8)).save(path)
+            else:
+                save_palette_mask(mask.astype(np.uint8), path)
         if progress is not None:
             progress(info.name)
 

@@ -151,3 +151,37 @@ def test_unsupervised_hungarian_2017(tmp_path):
         save_palette_mask(canvas, os.path.join(res_root, seq, f"{fid}.png"))
     metrics = scorer.evaluate(res_root)
     assert np.isclose(summarize(metrics)["J&F-Mean"], 1.0)
+
+
+def test_extract_masks_2017_layout_scoreable(tmp_path):
+    """Year-2017 extraction must write id-valued palette masks the 2017
+    scorer can read (a 255-valued binary PNG would read as 255 proposals
+    there); gt-as-prediction through the FULL extract->score round trip."""
+    import os
+
+    from PIL import Image
+
+    from slowfast_vos_tpu.data.davis import save_palette_mask
+    from slowfast_vos_tpu.eval.scorer import DavisScorer
+
+    root = str(tmp_path / "davis")
+    res = str(tmp_path / "results")
+    rng = np.random.default_rng(5)
+    seq = "synthseq"
+    os.makedirs(f"{root}/Annotations/480p/{seq}")
+    os.makedirs(f"{root}/ImageSets/2017")
+    os.makedirs(f"{res}/{seq}")
+    for f in range(4):
+        m = np.zeros((40, 64), np.uint8)
+        y, x = rng.integers(5, 20, 2)
+        m[y : y + 15, x : x + 30] = 1
+        save_palette_mask(m, f"{root}/Annotations/480p/{seq}/{f:05d}.png")
+        # what extract_masks writes for 2017: union as palette id 1
+        save_palette_mask((m > 0).astype(np.uint8), f"{res}/{seq}/{f:05d}.png")
+    with open(f"{root}/ImageSets/2017/val.txt", "w") as fh:
+        fh.write(seq + "\n")
+
+    scorer = DavisScorer(root, task="unsupervised", gt_set="val", year="2017")
+    out = scorer.evaluate(res)
+    # gt fed back as prediction must score J == 1 exactly
+    assert abs(float(np.mean(out["J"]["M"])) - 1.0) < 1e-9, out["J"]
