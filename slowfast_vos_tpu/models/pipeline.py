@@ -139,12 +139,14 @@ class Pipeline:
         )(cls, reg, proposals, pvalid)
 
         d = boxes.shape[1]
-        pooled14 = jax.lax.map(
-            lambda a: multiscale_roi_align(
-                [a[0], a[1], a[2], a[3]], a[4], ROI_SCALES, output_size=self.cfg.mask_roi_size
-            ),
-            (*enhanced, boxes),
-        )
+        # vmap (not lax.map): at detections_per_img rois the gather
+        # temporaries are tiny, and the per-frame map paid ~1.5 ms/frame of
+        # dispatch overhead (48 ms/superchunk for 320 rois, measured).
+        pooled14 = jax.vmap(
+            lambda l0, l1, l2, l3, b: multiscale_roi_align(
+                [l0, l1, l2, l3], b, ROI_SCALES, output_size=self.cfg.mask_roi_size
+            )
+        )(*enhanced, boxes)
         mask_logits = self.model.apply(
             variables, pooled14.reshape(e * d, *pooled14.shape[2:]), method="mask_predict"
         ).reshape(e, d, self.cfg.mask_out_size, self.cfg.mask_out_size, self.cfg.num_classes)
