@@ -70,7 +70,11 @@ class DavisScorer:
         else:
             void = raw == 255
             raw = np.where(void, 0, raw)
-            num_objects = int(raw.max())
+            # Protocol quirk kept: the object count comes from FRAME 0 only
+            # (`davis.py:101` `num_objects = int(np.max(masks[0, ...]))`);
+            # every DAVIS object is annotated in frame 0, and matching the
+            # reference keeps the two scorers numerically interchangeable.
+            num_objects = int(raw[0].max())
             ids = np.arange(1, num_objects + 1)
             gt = raw[None] == ids[:, None, None, None]
         return gt, void, frame_ids
@@ -136,7 +140,10 @@ class DavisScorer:
             if self.task == "unsupervised":
                 j, f = self._score_unsupervised(gt, res, void)
             else:
-                j, f = self._score_semisupervised(gt, res, void)
+                # Protocol quirk kept: the reference scores semi-supervised
+                # WITHOUT void exclusion (`evaluation.py:97` passes None even
+                # when void masks exist) — matched for interchangeability.
+                j, f = self._score_semisupervised(gt, res, None)
             for o in range(gt.shape[0]):
                 name = f"{seq}_{o + 1}"
                 jm, jr, jd = db_statistics(j[o])
