@@ -59,11 +59,27 @@ class DavisFrameDataset:
     ):
         imgs = sorted(glob(os.path.join(root, "JPEGImages", resolution, "*", "*.jpg")))
         msks = sorted(glob(os.path.join(root, "Annotations", resolution, "*", "*.png")))
+        # Pair by shared <seq>/<frame> stem and fail loudly on a mismatch: a
+        # tree with partial annotations (e.g. test-dev's first-frame-only
+        # masks) would otherwise silently misalign every subsequent pair.
+        mask_by_stem = {
+            (os.path.basename(os.path.dirname(mp)), os.path.splitext(os.path.basename(mp))[0]): mp
+            for mp in msks
+        }
+        if len(imgs) != len(msks):
+            raise ValueError(
+                f"DAVIS tree at {root}: {len(imgs)} images but {len(msks)} masks; "
+                "the frame-level dataset requires one annotation per frame"
+            )
         train_names = _imageset_sequences(root, year, resolution, "train")
         val_names = _imageset_sequences(root, year, resolution, "val")
         self.frames = []
-        for ip, mp in zip(imgs, msks):
+        for ip in imgs:
             seq = os.path.basename(os.path.dirname(ip))
+            stem = os.path.splitext(os.path.basename(ip))[0]
+            mp = mask_by_stem.get((seq, stem))
+            if mp is None:
+                raise ValueError(f"no annotation PNG for frame {seq}/{stem}")
             which = "train" if seq in train_names else "val" if seq in val_names else "test"
             if which == split:
                 self.frames.append((ip, mp))
@@ -147,9 +163,14 @@ def frame_batches(
 
     # One canvas per aspect BUCKET (not per batch): the compiled-graph count
     # is bounded by the bucket count regardless of how sizes interleave.
+    # Batches from all buckets are then interleaved in shuffled global order,
+    # matching the reference GroupedBatchSampler's training-order distribution
+    # (`group_by_aspect_ratio.py:23-196` draws batches as the shuffled sampler
+    # stream fills each bucket, not bucket-by-bucket).
     rup = lambda v: -(-v // size_divisor) * size_divisor
     groups = group_by_aspect_ratio(sizes)
     rng = np.random.default_rng(seed)
+    planned = []  # (canvas, [item indices]) across every bucket
     for _gid, idxs in sorted(groups.items()):
         canvas = (
             rup(max(sizes[i][0] for i in idxs)),
@@ -159,5 +180,9 @@ def frame_batches(
         if shuffle:
             rng.shuffle(idxs)
         for s in range(0, len(idxs) - batch_size + 1, batch_size):
-            items = [dataset[int(i)] for i in idxs[s : s + batch_size]]
-            yield _assemble(items, batch_size, canvas)
+            planned.append((canvas, idxs[s : s + batch_size]))
+    if shuffle:
+        rng.shuffle(planned)
+    for canvas, batch_idxs in planned:
+        items = [dataset[int(i)] for i in batch_idxs]
+        yield _assemble(items, batch_size, canvas)

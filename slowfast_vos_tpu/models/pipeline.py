@@ -60,7 +60,10 @@ class Pipeline:
         ratio beyond ~4:1 (the kernel's documented patch-clamp tail); the
         10-detection 14x14 mask pool always uses the exact gather form."""
         if pallas_pool7 is None:
-            pallas_pool7 = jax.default_backend() not in ("cpu",)
+            # Allowlist, not blocklist: the kernel uses TPU-only Pallas
+            # primitives (interpret=False), so a GPU or other non-CPU backend
+            # must fall back to the exact gather form rather than crash.
+            pallas_pool7 = jax.default_backend() in ("tpu", "axon")
         self.pallas_pool7 = pallas_pool7
         self.superchunk = superchunk
         self.model = model
