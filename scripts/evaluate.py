@@ -25,6 +25,11 @@ def main():
 
     from slowfast_vos_tpu.eval.glue import davis_evaluation
     from slowfast_vos_tpu.models.pipeline import build_pipeline, init_variables
+    from slowfast_vos_tpu.parallel.distributed import init_distributed_mode
+
+    # Multi-process launches shard the sequence list (round-robin) inside
+    # davis_evaluation; single-process this is a no-op.
+    init_distributed_mode()
 
     pipe, model = build_pipeline(args.slow, args.fast, tuple(args.original_hw))
     variables = init_variables(model, jax.random.PRNGKey(0))

@@ -24,7 +24,12 @@ def main():
 
     from slowfast_vos_tpu.eval.glue import extract_masks
     from slowfast_vos_tpu.models.pipeline import build_pipeline, init_variables
+    from slowfast_vos_tpu.parallel.distributed import init_distributed_mode
     from scripts.train import _load_init
+
+    # Multi-process launches split the sequence list round-robin (no-op
+    # single-process).
+    init_distributed_mode()
 
     pipe, model = build_pipeline(args.slow, args.fast, tuple(args.original_hw))
     variables = _load_init(args.checkpoint, init_variables(model, jax.random.PRNGKey(0)))

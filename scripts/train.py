@@ -25,6 +25,8 @@ def main():
                    help="orbax variables checkpoint or reference .pth to start from")
     p.add_argument("--tensorboard", action="store_true",
                    help="also write TensorBoard event files (reference train.py:82)")
+    p.add_argument("--no-data-parallel", action="store_true",
+                   help="force single-device steps even with multiple devices visible")
     args = p.parse_args()
 
     import jax
@@ -53,6 +55,7 @@ def main():
         continue_training=args.continue_training,
         variables=variables,
         tensorboard=args.tensorboard,
+        data_parallel=False if args.no_data_parallel else None,
     )
     for h in history:
         ev = h["eval"] or {}

@@ -31,6 +31,7 @@ def main():
     import jax
 
     from slowfast_vos_tpu.models.pipeline import build_pipeline, init_variables
+    from slowfast_vos_tpu.parallel.distributed import init_distributed_mode
     from slowfast_vos_tpu.train.osvos import (
         ExperimentConfig,
         run_osvos_experiments,
@@ -38,6 +39,10 @@ def main():
         train_osvos_sequence,
     )
     from scripts.train import _load_init
+
+    # Multi-process '--mode all' shards the per-sequence fine-tunes across
+    # processes; the other modes run per-process serial. No-op single-process.
+    init_distributed_mode()
 
     pipe, model = build_pipeline(args.slow, args.fast, tuple(args.original_hw))
     variables = init_variables(model, jax.random.PRNGKey(63))

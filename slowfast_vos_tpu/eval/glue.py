@@ -18,6 +18,7 @@ from PIL import Image
 
 from slowfast_vos_tpu.data.davis import DavisIndex, load_sequence, save_palette_mask
 from slowfast_vos_tpu.eval.scorer import DavisScorer, summarize
+from slowfast_vos_tpu.parallel.distributed import get_rank, get_world_size, host_barrier
 
 
 def union_mask(det: dict, threshold: float = 0.5) -> np.ndarray:
@@ -44,6 +45,7 @@ def extract_masks(
     year: str = "2016",
     threshold: float = 0.5,
     progress=None,
+    shard_by_process: bool = True,
 ):
     """Run inference and write per-frame union masks as PNGs.
 
@@ -53,9 +55,19 @@ def extract_masks(
     `results.py:30-35`). Year 2017 writes the union as palette id 1: the
     2017 reader treats pixel values as object ids (`max()` = object
     count), so a 255-valued mask would read as 255 proposals there —
-    a path the reference never exercised (it only ever scored 2016)."""
+    a path the reference never exercised (it only ever scored 2016).
+
+    Multi-process launches split the sequence list round-robin by process
+    (`shard_by_process=True`, the analogue of the reference's
+    DistributedSampler over images, `code/maskrcnn/train.py:73-74`); each
+    process writes its shard of the shared tree, then all processes
+    barrier so the tree is complete before anyone scores it."""
     index = DavisIndex(davis_root, subset, year=year, sequences=sequences)
-    for info in index:
+    infos = list(index)
+    sharded = shard_by_process and get_world_size() > 1
+    if sharded:
+        infos = infos[get_rank() :: get_world_size()]
+    for info in infos:
         seq_dir = os.path.join(out_dir, info.name)
         os.makedirs(seq_dir, exist_ok=True)
         seq = load_sequence(info, max_gt=pipe.cfg.max_gt)
@@ -69,6 +81,72 @@ def extract_masks(
                 save_palette_mask(mask.astype(np.uint8), path)
         if progress is not None:
             progress(info.name)
+    if sharded:
+        # Coordination-service barrier (not a Gloo device collective, whose
+        # 30 s context-init rendezvous real per-sequence skew exceeds).
+        host_barrier("extract_masks_done")
+
+
+MAX_OBJECTS_PER_SEQ = 20  # scorer proposal cap (`evaluation.py:46`)
+
+
+def merge_scorer_metrics(local: dict, global_sequences: list[str]) -> dict:
+    """All-gather per-(sequence, object) J/F statistics scored by each
+    process over its sequence shard, and rebuild the full metrics dict in
+    global sequence order.
+
+    TPU-native analogue of the reference's pickled `all_gather` COCO-eval
+    merge (`code/maskrcnn/utils.py:79-119`): the payload is a fixed-shape
+    [cap, 8] row table ([seq_idx, obj_id, JM, JR, JD, FM, FR, FD], padded
+    with seq_idx = -1) that `process_allgather` moves as one collective.
+    Single-process: identity."""
+    import jax
+
+    if jax.process_count() == 1:
+        return local
+
+    from jax.experimental import multihost_utils
+
+    # Sync before the Gloo rendezvous: per-shard scoring time differs across
+    # processes and the first collective's context init times out at 30 s.
+    host_barrier("merge_scorer_metrics")
+
+    seq_idx = {s: i for i, s in enumerate(global_sequences)}
+    cap = max(1, len(global_sequences)) * MAX_OBJECTS_PER_SEQ
+    payload = np.full((cap, 8), -1.0)
+    names = list(local["J"]["M_per_object"])
+    for row, name in enumerate(names):
+        seq, obj = name.rsplit("_", 1)
+        payload[row] = [
+            seq_idx[seq],
+            float(obj),
+            local["J"]["M"][row],
+            local["J"]["R"][row],
+            local["J"]["D"][row],
+            local["F"]["M"][row],
+            local["F"]["R"][row],
+            local["F"]["D"][row],
+        ]
+    # Bit-exact f64 transport: allgather moves arrays as f32 under jax's
+    # default x64-off config, so ship the raw int32 view and reinterpret.
+    gathered = np.asarray(
+        multihost_utils.process_allgather(payload.view(np.int32))
+    ).reshape(-1, 16).copy().view(np.float64)
+    rows = gathered[gathered[:, 0] >= 0]
+    order = np.lexsort((rows[:, 1], rows[:, 0]))
+    rows = rows[order]
+    out = {
+        "J": {"M": [], "R": [], "D": [], "M_per_object": {}},
+        "F": {"M": [], "R": [], "D": [], "M_per_object": {}},
+    }
+    for r in rows:
+        name = f"{global_sequences[int(r[0])]}_{int(r[1])}"
+        for metric, vals in (("J", r[2:5]), ("F", r[5:8])):
+            out[metric]["M"].append(float(vals[0]))
+            out[metric]["R"].append(float(vals[1]))
+            out[metric]["D"].append(float(vals[2]))
+            out[metric]["M_per_object"][name] = float(vals[0])
+    return out
 
 
 def davis_evaluation(
@@ -81,6 +159,7 @@ def davis_evaluation(
     sequences=None,
     subset: str = "val",
     year: str = "2016",
+    shard_by_process: bool = True,
 ):
     """Inference + official scoring. `sequences=None` evaluates the full set;
     naming sequences (the OSVOS flow) writes under the 'semi-supervised'
@@ -99,12 +178,20 @@ def davis_evaluation(
     seqs = "all" if sequences is None else sequences
     out_dir = os.path.join(results_root, task, model_name)
     extract_masks(
-        pipe, variables, davis_root, out_dir, sequences=seqs, subset=subset, year=year
+        pipe, variables, davis_root, out_dir, sequences=seqs, subset=subset,
+        year=year, shard_by_process=shard_by_process,
     )
     scorer = DavisScorer(
         davis_root, task="unsupervised", gt_set=subset, sequences=seqs, year=year
     )
-    metrics = scorer.evaluate(out_dir)
+    if shard_by_process and get_world_size() > 1:
+        # Score only this process's sequence shard, then merge the per-object
+        # statistics across processes — every process returns the full table.
+        all_seqs = list(scorer.sequences)
+        scorer.sequences = all_seqs[get_rank() :: get_world_size()]
+        metrics = merge_scorer_metrics(scorer.evaluate(out_dir), all_seqs)
+    else:
+        metrics = scorer.evaluate(out_dir)
     summary = summarize(metrics)
     per_object = {
         name: {"J-Mean": metrics["J"]["M_per_object"][name], "F-Mean": metrics["F"]["M_per_object"][name]}

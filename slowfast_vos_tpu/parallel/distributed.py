@@ -114,6 +114,34 @@ def init_distributed_mode(*, verbose: bool = True) -> bool:
     return True
 
 
+_barrier_count = 0
+
+
+def host_barrier(name: str, timeout_s: int = 1800) -> None:
+    """Block until every process reaches this barrier.
+
+    Uses the jax.distributed coordination service (gRPC) rather than a
+    device collective: `multihost_utils.sync_global_devices` rides a Gloo
+    CPU collective whose context-init rendezvous times out after 30 s, which
+    real workloads exceed whenever processes reach the barrier skewed (e.g.
+    one process drew one more eval sequence than another). Single-process:
+    no-op. Barrier ids are auto-uniqued per call site order, so every
+    process must execute the same barrier sequence (same discipline as any
+    collective)."""
+    global _barrier_count
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed as _jax_distributed
+
+    client = _jax_distributed.global_state.client
+    if client is None:
+        return
+    _barrier_count += 1
+    client.wait_at_barrier(f"{name}_{_barrier_count}", timeout_in_ms=timeout_s * 1000)
+
+
 def get_rank() -> int:
     import jax
 

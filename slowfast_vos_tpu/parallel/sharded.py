@@ -11,6 +11,7 @@ sync-BN; the reference's single-device BN has nothing to sync).
 from __future__ import annotations
 
 import jax
+import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -18,14 +19,43 @@ from slowfast_vos_tpu.train.train_step import Trainer, TrainState
 
 
 def replicate_state(state: TrainState, mesh) -> TrainState:
-    """Place the (replicated) train state on the mesh."""
+    """Place the (replicated) train state on the mesh.
+
+    Multi-host: `device_put` cannot target non-addressable devices, so the
+    replicated global array is assembled from the (identical, deterministic)
+    host-local copies via `host_local_array_to_global_array` — the blessed
+    multi-process path."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.host_local_array_to_global_array(
+            jax.tree.map(np.asarray, state), mesh, jax.tree.map(lambda _: P(), state)
+        )
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
 
 
+def stack_windows(windows: list) -> dict:
+    """Stack a list of per-window batch dicts into one [n, ...] batch."""
+    return {k: np.stack([np.asarray(w[k]) for w in windows]) for k in windows[0]}
+
+
 def shard_windows(batch: dict, mesh) -> dict:
-    """Place a [n_dev, ...] stacked window batch with the leading axis on
-    'data'."""
+    """Place a stacked window batch with the leading axis on 'data'.
+
+    Single-process: `batch` is the full [n_dev, ...] global batch.
+    Multi-process: `batch` is this process's LOCAL [n_local_dev, ...] shard of
+    the globally-ordered batch (`distributed.local_batch_slice`); the global
+    array is assembled across hosts without any data movement."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.host_local_array_to_global_array(
+            jax.tree.map(np.asarray, batch),
+            mesh,
+            jax.tree.map(lambda _: P("data"), batch),
+        )
+
     def put(x):
         return jax.device_put(x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
 

@@ -83,6 +83,9 @@ def train_osvos_sequence(
     model_name = f"osvos_{pipe.sf.slow}-{pipe.sf.fast}_{sequence_name}"
 
     def evaluate():
+        # shard_by_process=False: each process owns its own sequence here
+        # (run_osvos_for_all_sequences does the process split); sharding the
+        # single-sequence eval would desynchronize the collective barriers.
         jf, summary, per_obj, wall = davis_evaluation(
             pipe,
             trainer.eval_variables(state),
@@ -91,6 +94,7 @@ def train_osvos_sequence(
             model_name=model_name,
             sequences=sequence_name,
             year=eval_year,
+            shard_by_process=False,
         )
         first = next(iter(per_obj.values()))
         return {
@@ -111,20 +115,99 @@ def train_osvos_sequence(
 
 
 def run_osvos_for_all_sequences(
-    pipe, variables, *, davis_root, results_root, output_json, cfg=None, **kw
+    pipe, variables, *, davis_root, results_root, output_json, cfg=None,
+    shard_by_process: bool = True, **kw
 ):
-    """Full-val OSVOS run with incremental JSON dump after each sequence."""
+    """Full-val OSVOS run with incremental JSON dump after each sequence.
+
+    The 20 per-sequence fine-tunes are independent, so multi-process
+    launches split them round-robin by process (the ideal slice workload:
+    one chip per sequence). Each process dumps its shard incrementally to
+    `<output_json>.rank<r>` (crash loses at most one sequence, like the
+    reference `run_osvos_for_all_seq.py:20-22`); at the end the shards are
+    all-gathered and the master writes the merged `output_json`. Every
+    process returns the full merged results."""
+    from slowfast_vos_tpu.parallel.distributed import (
+        get_rank, get_world_size, save_on_master,
+    )
+
     index = DavisIndex(davis_root, "val", year="2016")
+    infos = list(index)
+    world = get_world_size() if shard_by_process else 1
+    my_infos = infos[get_rank()::world] if world > 1 else infos
+    my_json = f"{output_json}.rank{get_rank()}" if world > 1 else output_json
+
+    # The per-sequence eval inside train_osvos_sequence must NOT shard
+    # again: this driver already owns the process split.
     all_results = {}
-    for info in index:
+    for info in my_infos:
         all_results[info.name] = train_osvos_sequence(
             pipe, variables,
             davis_root=davis_root, sequence_name=info.name,
             results_root=results_root, cfg=cfg, **kw,
         )
-        with open(output_json, "w") as f:
+        with open(my_json, "w") as f:
             json.dump({k: {str(e): v for e, v in r.items()} for k, r in all_results.items()}, f)
+
+    if world > 1:
+        all_results = _merge_osvos_results(all_results, [i.name for i in infos])
+        save_on_master(
+            lambda: json.dump(
+                {k: {str(e): v for e, v in r.items()} for k, r in all_results.items()},
+                open(output_json, "w"),
+            )
+        )
     return all_results
+
+
+_OSVOS_KEYS = ("jfmean", "jmean", "fmean", "eval_time")
+
+
+def _merge_osvos_results(local: dict, all_names: list[str]) -> dict:
+    """All-gather per-sequence OSVOS results (fixed-shape float table over
+    epochs x stats; epoch -1 is row 0) and rebuild the full dict in global
+    sequence order — same collective discipline as
+    `eval/glue.py:merge_scorer_metrics`."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from slowfast_vos_tpu.parallel.distributed import host_barrier
+
+    # Processes arrive here skewed by up to one whole per-sequence fine-tune;
+    # sync on the coordination service before the first Gloo collective.
+    host_barrier("merge_osvos_results")
+
+    epochs = sorted(next(iter(local.values())).keys()) if local else []
+    n_ep = multihost_utils.process_allgather(np.asarray(len(epochs), np.int32))
+    n_ep = int(np.max(np.asarray(n_ep)))
+    name_idx = {n: i for i, n in enumerate(all_names)}
+    cap = len(all_names)
+    table = np.full((cap, n_ep, len(_OSVOS_KEYS)), np.nan)
+    present = np.zeros((cap,), bool)
+    for name, res in local.items():
+        i = name_idx[name]
+        present[i] = True
+        for e, epoch in enumerate(sorted(res.keys())):
+            table[i, e] = [res[epoch][k] for k in _OSVOS_KEYS]
+    # int32-view transport keeps the f64 statistics bit-exact (allgather
+    # would otherwise downcast to f32 under jax's default x64-off config).
+    tables = (
+        np.asarray(multihost_utils.process_allgather(table.view(np.int32)))
+        .copy().view(np.float64)
+    )
+    presents = np.asarray(multihost_utils.process_allgather(present))
+    merged = {}
+    for i, name in enumerate(all_names):
+        owners = np.nonzero(presents[:, i])[0]
+        if owners.size == 0:
+            continue
+        t = tables[owners[0], i]
+        merged[name] = {
+            e - 1: dict(zip(_OSVOS_KEYS, (float(v) for v in t[e])))
+            for e in range(n_ep)
+            if np.isfinite(t[e]).all()
+        }
+    return merged
 
 
 def run_osvos_experiments(

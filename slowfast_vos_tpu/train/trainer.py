@@ -16,6 +16,14 @@ from slowfast_vos_tpu.data.davis import DavisIndex, load_sequence
 from slowfast_vos_tpu.data.windows import train_windows
 from slowfast_vos_tpu.eval.glue import davis_evaluation
 from slowfast_vos_tpu.models.pipeline import Pipeline, init_variables
+from slowfast_vos_tpu.parallel.distributed import local_batch_slice, save_on_master
+from slowfast_vos_tpu.parallel.mesh import make_mesh
+from slowfast_vos_tpu.parallel.sharded import (
+    make_sharded_train_step,
+    replicate_state,
+    shard_windows,
+    stack_windows,
+)
 from slowfast_vos_tpu.train.train_step import Trainer, TrainState
 from slowfast_vos_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 from slowfast_vos_tpu.utils.metrics import MetricsLogger
@@ -43,13 +51,31 @@ def train_unsupervised(
     max_windows_per_epoch: int | None = None,
     variables: dict | None = None,
     tensorboard: bool = False,
+    data_parallel: bool | None = None,
 ):
     """Returns (final TrainState, history list of per-epoch dicts).
     `tensorboard=True` mirrors every scalar to TensorBoard event files like
-    the reference's SummaryWriter (`code/train.py:82,103,109-111`)."""
+    the reference's SummaryWriter (`code/train.py:82,103,109-111`).
+
+    `data_parallel` (default: auto — on when more than one device is
+    visible) drives the shard_map DP step (`parallel/sharded.py`): each
+    optimizer step consumes one window PER DEVICE, gradients/metrics/BN
+    stats are pmean-synced — the production analogue of the reference's
+    DDP wrap (`code/maskrcnn/train.py:102`). A trailing group smaller than
+    the device count is wrap-filled with windows from the start of the
+    epoch, torch DistributedSampler's padding convention
+    (`train.py:73-74`). Multi-process launches feed each process its
+    `local_batch_slice` of every group."""
     os.makedirs(output_dir, exist_ok=True)
     logger = MetricsLogger(os.path.join(output_dir, "logs"), "train", tensorboard=tensorboard)
     trainer = Trainer(pipe, lr=lr)
+
+    n_dev = len(jax.devices())
+    if data_parallel is None:
+        data_parallel = n_dev > 1
+    if data_parallel:
+        mesh = make_mesh(n_dev)
+        dp_step = make_sharded_train_step(trainer, mesh)
 
     if variables is None:
         variables = init_variables(pipe.model, jax.random.PRNGKey(seed))
@@ -61,6 +87,8 @@ def train_unsupervised(
     if continue_training and os.path.exists(last_path):
         state, meta = restore_checkpoint(last_path, target=state)
         start_epoch = (meta or {}).get("epoch", 0) + 1
+    if data_parallel:
+        state = replicate_state(state, mesh)
 
     index = DavisIndex(train_root, "train", year=train_year)
     key = jax.random.PRNGKey(seed)
@@ -86,13 +114,21 @@ def train_unsupervised(
     if pre is not None:
         logger.scalar("eval/jf", pre["jf"], step=-1)
 
-    global_step = 0
-    for epoch in range(start_epoch, epochs):
-        epoch_loss = 0.0
-        n_windows = 0
+    def epoch_windows():
+        count = 0
         for info in index:
             seq = load_sequence(info, max_gt=pipe.cfg.max_gt)
             for batch in train_windows(seq, fast=pipe.sf.fast, n_center=trainer.n_center):
+                yield batch
+                count += 1
+                if max_windows_per_epoch and count >= max_windows_per_epoch:
+                    return
+
+    global_step = 0
+    for epoch in range(start_epoch, epochs):
+        epoch_loss = 0.0
+        if not data_parallel:
+            for batch in epoch_windows():
                 key, sub = jax.random.split(key)
                 state, metrics = trainer.step(state, sub, jax_batch(batch))
                 loss = float(metrics["loss"])
@@ -103,23 +139,53 @@ def train_unsupervised(
                 epoch_loss += loss
                 logger.scalar("train/batch_loss", loss, global_step)
                 global_step += 1
-                n_windows += 1
-                if max_windows_per_epoch and n_windows >= max_windows_per_epoch:
-                    break
-            if max_windows_per_epoch and n_windows >= max_windows_per_epoch:
-                break
+        else:
+            group: list = []
+            fill: list = []  # earliest windows of the epoch, for wrap-fill
+            pending = True
+            gen = epoch_windows()
+            while pending:
+                for batch in gen:
+                    group.append(batch)
+                    if len(fill) < n_dev - 1:
+                        fill.append(batch)
+                    if len(group) == n_dev:
+                        break
+                else:
+                    pending = False
+                    if not group:
+                        break
+                n_real = len(group)
+                if n_real < n_dev:
+                    # Trailing partial group: wrap-fill with the epoch's
+                    # first windows (DistributedSampler's even-padding).
+                    for i in range(n_dev - n_real):
+                        group.append(fill[i % len(fill)])
+                local = group[local_batch_slice(n_dev)] if jax.process_count() > 1 else group
+                sharded = shard_windows(stack_windows(local), mesh)
+                key, sub = jax.random.split(key)
+                state, metrics = dp_step(state, sub, sharded)
+                loss = float(metrics["loss"])  # pmean over the group
+                if not np.isfinite(loss):
+                    raise FloatingPointError(f"Loss is {loss}, stopping training")
+                epoch_loss += loss * n_real  # sum-over-windows, like serial
+                logger.scalar("train/batch_loss", loss, global_step)
+                global_step += 1
+                group = []
 
         logger.scalar("train/epoch_loss", epoch_loss, epoch)
         ev = run_eval()
         entry = {"epoch": epoch, "loss": epoch_loss, "eval": ev}
         history.append(entry)
-        save_checkpoint(last_path, state, meta={"epoch": epoch})
+        save_on_master(save_checkpoint, last_path, state, meta={"epoch": epoch})
         if ev is not None:
             logger.scalars({"jf": ev["jf"], "time": ev["wall"]}, epoch, prefix="eval/")
             if ev["jf"] > best_jf:
                 best_jf = ev["jf"]
-                save_checkpoint(best_path, state, meta={"epoch": epoch, "jf": ev["jf"]})
+                save_on_master(
+                    save_checkpoint, best_path, state, meta={"epoch": epoch, "jf": ev["jf"]}
+                )
         else:
-            save_checkpoint(best_path, state, meta={"epoch": epoch})
+            save_on_master(save_checkpoint, best_path, state, meta={"epoch": epoch})
     logger.close()
     return state, history
