@@ -138,35 +138,43 @@ def _kernel(
     for slot in range(b):
         ri = r * b + slot
         tr = iparams_ref[ri, 3]
-        # Size-matched semaphore wait per tier (the wait is byte-counted).
+        # Size-matched semaphore wait per tier (the wait is byte-counted),
+        # then TIER-SIZED matmuls: a roi's interp weights never reference
+        # rows/cols beyond its tier, so slicing both the patch and the A
+        # matrices to the tier drops only exact zeros — and cuts the
+        # dominant [out, tsize] @ [tsize, tsize*c] matmul's K and N by up to
+        # (PATCH/24)^2 = 5.4x for the smallest (most common) tier.
+        # Matmuls run in the FEATURE dtype (bf16 on TPU): a native-dtype MXU
+        # pass instead of upcasting the whole patch to f32 and paying the
+        # multi-pass f32 MXU decomposition. Accumulation stays f32 via
+        # preferred_element_type; bf16 interp weights cost ~0.4% relative —
+        # inside the bf16 pipeline's own noise (f32 inputs keep f32 weights,
+        # so interpret-mode parity tests are exact).
+        dt = patch_ref.dtype
         for ti, tsize in enumerate(TIERS):
             @pl.when(tr == ti)
-            def _():
+            def _(tsize=tsize):
                 pltpu.make_async_copy(
                     f0.at[pl.ds(0, tsize), pl.ds(0, tsize), :],
                     patch_ref.at[slot, pl.ds(0, tsize), pl.ds(0, tsize), :],
                     sem.at[slot],
                 ).wait()
-        # Matmuls run in the FEATURE dtype (bf16 on TPU): a native-dtype MXU
-        # pass instead of upcasting the whole 56^2 patch to f32 and paying
-        # the multi-pass f32 MXU decomposition. Accumulation stays f32 via
-        # preferred_element_type; bf16 interp weights cost ~0.4% relative —
-        # inside the bf16 pipeline's own noise (f32 inputs keep f32 weights,
-        # so interpret-mode parity tests are exact).
-        dt = patch_ref.dtype
-        patch = patch_ref[slot]
-        # tmp[p, w*c] = A_y @ patch
-        tmp = jnp.dot(
-            ay_ref[ri, :out_size], patch.reshape(PATCH, PATCH * c),
-            preferred_element_type=jnp.float32,
-        )
-        tmp = tmp.reshape(out_size, PATCH, c).astype(dt)
-        # out[p, q, c] = sum_w a_x[q, w] tmp[p, w, c]
-        out = jax.lax.dot_general(
-            ax_ref[ri, :out_size], tmp, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [q, p, c]
-        out_ref[slot] = jnp.transpose(out, (1, 0, 2)).astype(out_ref.dtype)
+                patch = patch_ref[slot, :tsize, :tsize, :]
+                # tmp[p, w*c] = A_y @ patch
+                tmp = jnp.dot(
+                    ay_ref[ri, :out_size, :tsize],
+                    patch.reshape(tsize, tsize * c),
+                    preferred_element_type=jnp.float32,
+                )
+                tmp = tmp.reshape(out_size, tsize, c).astype(dt)
+                # out[p, q, c] = sum_w a_x[q, w] tmp[p, w, c]
+                out = jax.lax.dot_general(
+                    ax_ref[ri, :out_size, :tsize],
+                    tmp,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [q, p, c]
+                out_ref[slot] = jnp.transpose(out, (1, 0, 2)).astype(out_ref.dtype)
 
 
 def multiscale_roi_align_pallas(
