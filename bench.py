@@ -78,45 +78,79 @@ def bench_train():
     )
 
 
+# Full-val DAVIS-2016 eval wall times per config (1376 frames), reference
+# GPU (`final_report/chapters/Experiments.tex:20-24`).
+REFERENCE_WALL_S = {"1-1": 477.0, "3-3": 544.0, "7-7": 853.0, "1-7": 528.0, "3-7": 584.0}
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--slow", type=int, default=3)
+    ap.add_argument("--fast", type=int, default=3)
+    ap.add_argument(
+        "--transport", default="yuv420", choices=["yuv420", "rgb"],
+        help="host->device image transport: YUV 4:2:0 halves upload bytes on "
+        "the non-overlapping tunnel link (production default; DAVIS sources "
+        "are 4:2:0 JPEGs anyway); 'rgb' is the RGB-exact parity pipeline",
+    )
+    ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--all-configs", action="store_true",
+                    help="bench every published config (1-1/3-3/7-7/1-7/3-7), "
+                    "one JSON line each")
+    args, _ = ap.parse_known_args([a for a in sys.argv[1:] if a != "--train"])
+
+    configs = (
+        [(1, 1), (3, 3), (7, 7), (1, 7), (3, 7)]
+        if args.all_configs
+        else [(args.slow, args.fast)]
+    )
+    for slow, fast in configs:
+        bench_config(slow, fast, transport=args.transport, runs=args.runs)
+
+
+def bench_config(slow: int, fast: int, *, transport: str, runs: int):
     import jax
 
     from slowfast_vos_tpu.models.pipeline import build_pipeline, init_variables
 
-    pipe, model = build_pipeline(slow=3, fast=3, original_hw=(480, 854))
+    pipe, model = build_pipeline(slow=slow, fast=fast, original_hw=(480, 854))
     variables = init_variables(model, jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(63)
     warm = rng.integers(0, 255, (16, 480, 854, 3), dtype=np.uint8)
     clip = rng.integers(0, 255, (64, 480, 854, 3), dtype=np.uint8)
 
-    # Production transport: YUV 4:2:0 planes (half the upload bytes; the
-    # tunnel's transfer bandwidth is the wall-clock bottleneck and it does
-    # not overlap transfers with compute — see models/transform.py
-    # `from_yuv420`). DAVIS sources are 4:2:0 JPEGs, so this is the format
-    # the data had on disk anyway.
-    transport = "yuv420"
-
     # Warm-up: compile all stage graphs.
     pipe.infer_sequence(variables, warm, transport=transport)
 
-    # Best of 5: the TPU here sits behind a tunnel whose transfer latency
-    # varies by >2x run to run; best-of reflects the pipeline, not the link.
-    fps = 0.0
-    for _ in range(5):
+    # value = best of N: the TPU here sits behind a tunnel whose transfer
+    # latency varies by >2x run to run; best-of reflects the pipeline, not
+    # the link. median + the full run list are recorded alongside so the
+    # record is self-defending about that variance.
+    fps_runs = []
+    for _ in range(runs):
         t0 = time.time()
         dets = pipe.infer_sequence(variables, clip, transport=transport)
         dt = time.time() - t0
         assert len(dets) == clip.shape[0]
-        fps = max(fps, clip.shape[0] / dt)
+        fps_runs.append(clip.shape[0] / dt)
 
+    config = f"{slow}-{fast}"
+    ref_fps = 1376.0 / REFERENCE_WALL_S.get(config, REFERENCE_WALL_S["3-3"])
+    fps = max(fps_runs)
     print(
         json.dumps(
             {
                 "metric": "inference_frames_per_sec_per_chip",
                 "value": round(fps, 3),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / REFERENCE_FPS, 3),
+                "vs_baseline": round(fps / ref_fps, 3),
+                "median": round(float(np.median(fps_runs)), 3),
+                "runs": [round(f, 3) for f in fps_runs],
+                "config": config,
+                "transport": transport,
             }
         )
     )

@@ -379,3 +379,111 @@ def test_fpn_parity():
     assert len(got) == 5
     for g, wnt in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), wnt, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# (e) RPN filter_proposals vs a torchvision-transcribed oracle
+# ---------------------------------------------------------------------------
+
+def _oracle_filter_proposals(
+    objectness, deltas, anchors, image_hw, *,
+    pre_nms_top_n, post_nms_top_n, nms_thresh, min_size,
+):
+    """torchvision `RegionProposalNetwork.filter_proposals` (v0.8-era, the
+    reference's vintage) for one image, numpy, transcribed step by step:
+    per-level top-k of objectness (`_get_top_n_idx`), BoxCoder decode with
+    the log(1000/16) clamp, clip to image, `remove_small_boxes`, level-keyed
+    `batched_nms`, truncation to post_nms_top_n in NMS (score-desc) order.
+    Tie semantics are made explicit with stable sorts: torch's CPU topk/sort
+    keep the lower index first on equal scores, which is also `lax.top_k`'s
+    documented behavior."""
+    boxes_all, scores_all, levels_all = [], [], []
+    for lvl, (obj, dlt, anc) in enumerate(zip(objectness, deltas, anchors)):
+        scores = obj.reshape(-1)
+        dl = dlt.reshape(-1, 4)
+        k = min(pre_nms_top_n, len(scores))
+        idx = np.argsort(-scores, kind="stable")[:k]
+        boxes = _oracle_decode(dl[idx][:, None, :], anc[idx], (1.0, 1.0, 1.0, 1.0))[:, 0]
+        h, w = image_hw
+        boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w)
+        boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h)
+        boxes_all.append(boxes)
+        scores_all.append(scores[idx])
+        levels_all.append(np.full(k, lvl, np.int64))
+    boxes = np.concatenate(boxes_all)
+    scores = np.concatenate(scores_all)
+    levels = np.concatenate(levels_all)
+    ws, hs = boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1]
+    keep = (ws >= min_size) & (hs >= min_size)
+    boxes, scores, levels = boxes[keep], scores[keep], levels[keep]
+    off = levels.astype(np.float64) * (boxes.max() + 1.0 if len(boxes) else 1.0)
+    k = _oracle_nms(boxes + off[:, None], scores, nms_thresh)
+    k = k[:post_nms_top_n]
+    return boxes[k], scores[k]
+
+
+def _rpn_case(rng, level_hw, num_anchors=3, tie_quantize=None, dup_frac=0.0):
+    """Random per-level objectness/deltas/anchors; optionally quantize scores
+    to force ties and duplicate anchor+delta rows to force identical boxes."""
+    objectness, deltas, anchors = [], [], []
+    for h, w in level_hw:
+        n = h * w * num_anchors
+        obj = rng.normal(size=(h, w, num_anchors)).astype(np.float32)
+        if tie_quantize is not None:
+            obj = (np.round(obj * tie_quantize) / tie_quantize).astype(np.float32)
+        dlt = (rng.normal(size=(h, w, num_anchors, 4)) * 0.4).astype(np.float32)
+        x1 = rng.uniform(0, 180, n).astype(np.float32)
+        y1 = rng.uniform(0, 110, n).astype(np.float32)
+        anc = np.stack(
+            [x1, y1, x1 + rng.uniform(2, 60, n).astype(np.float32),
+             y1 + rng.uniform(2, 40, n).astype(np.float32)], axis=1,
+        )
+        if dup_frac:
+            ndup = int(n * dup_frac)
+            src = rng.integers(0, n, ndup)
+            dst = rng.integers(0, n, ndup)
+            anc[dst] = anc[src]
+            df = dlt.reshape(-1, 4)
+            df[dst] = df[src]
+            of = obj.reshape(-1)
+            of[dst] = of[src]
+        objectness.append(obj)
+        deltas.append(dlt)
+        anchors.append(anc)
+    return objectness, deltas, anchors
+
+
+@pytest.mark.parametrize(
+    "tie_quantize,dup_frac,pre,post,min_size",
+    [
+        (None, 0.0, 40, 20, 1e-3),     # plain random
+        (2.0, 0.3, 40, 20, 1e-3),      # heavy score ties + duplicate boxes
+        (1.0, 0.5, 24, 16, 2.0),       # extreme ties + small-box filtering
+    ],
+)
+def test_rpn_filter_proposals_parity(tie_quantize, dup_frac, pre, post, min_size):
+    from slowfast_vos_tpu.models.rpn import filter_proposals_single
+
+    rng = np.random.default_rng(41)
+    image_hw = (120.0, 200.0)
+    for trial in range(3):
+        objectness, deltas, anchors = _rpn_case(
+            rng, [(6, 6), (3, 3), (2, 2)], tie_quantize=tie_quantize, dup_frac=dup_frac
+        )
+        wb, wscores = _oracle_filter_proposals(
+            objectness, deltas, anchors, image_hw,
+            pre_nms_top_n=pre, post_nms_top_n=post,
+            nms_thresh=0.7, min_size=min_size,
+        )
+        gb, gs, gv = filter_proposals_single(
+            tuple(jnp.asarray(o) for o in objectness),
+            tuple(jnp.asarray(d) for d in deltas),
+            tuple(jnp.asarray(a) for a in anchors),
+            image_hw=image_hw, pre_nms_top_n=pre, post_nms_top_n=post,
+            nms_thresh=0.7, min_size=min_size,
+        )
+        gb, gs, gv = map(np.asarray, (gb, gs, gv))
+        n = int(gv.sum())
+        assert n == len(wb), f"trial {trial}: {n} vs {len(wb)} proposals"
+        np.testing.assert_allclose(gs[:n], wscores, atol=0, err_msg=f"trial {trial}")
+        np.testing.assert_allclose(gb[:n], wb, atol=1e-4, err_msg=f"trial {trial}")
