@@ -85,3 +85,49 @@ def sample_balanced(
         return mask & (rank < count)
 
     return pick(kp, positive, num_pos), pick(kn, negative, num_neg)
+
+
+def sample_balanced_indices(
+    key: jax.Array,
+    positive: jnp.ndarray,
+    negative: jnp.ndarray,
+    *,
+    batch_size: int,
+    positive_fraction: float,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """`sample_balanced` returning a COMPACT index set instead of full-length
+    masks: two `top_k(k <= batch_size)` calls instead of two full argsorts +
+    two rank scatters, and the caller computes its losses on
+    `max_pos + batch_size` rows instead of all n — over the ~257k RPN anchors
+    the mask form cost ~12 ms/step (profiled: sort.14/15 + rank-scatter
+    fusions + full-anchor encode/smooth-l1/BCE).
+
+    Per class, the k largest of an i.i.d. uniform draw (non-members pinned to
+    -1) are a uniform random subset — the same sampling distribution as
+    `sample_balanced` (torchvision's BalancedPositiveNegativeSampler,
+    `_utils.py`), with independent draws per class.
+
+    Returns (idx [P + B], is_pos [P + B], valid [P + B]) with
+    P = min(max_pos, n), B = min(batch_size, n); `idx` rows where
+    `valid` is False are arbitrary (-1-priority picks) and must be masked by
+    the caller.
+    """
+    n = positive.shape[0]
+    max_pos = min(int(batch_size * positive_fraction), n)
+    bsz = min(batch_size, n)
+    num_pos = jnp.minimum(positive.sum(), max_pos)
+    num_neg = jnp.minimum(negative.sum(), batch_size - num_pos)
+
+    kp, kn = jax.random.split(key)
+    up = jax.random.uniform(kp, (n,))
+    un = jax.random.uniform(kn, (n,))
+    _, pos_idx = jax.lax.top_k(jnp.where(positive, up, -1.0), max_pos)
+    _, neg_idx = jax.lax.top_k(jnp.where(negative, un, -1.0), bsz)
+    idx = jnp.concatenate([pos_idx, neg_idx])
+    valid = jnp.concatenate(
+        [jnp.arange(max_pos) < num_pos, jnp.arange(bsz) < num_neg]
+    )
+    is_pos = jnp.concatenate(
+        [jnp.ones((max_pos,), bool), jnp.zeros((bsz,), bool)]
+    )
+    return idx, is_pos, valid

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from slowfast_vos_tpu.models.config import DetectionConfig
-from slowfast_vos_tpu.models.matching import match_to_gt, sample_balanced, BELOW_LOW
+from slowfast_vos_tpu.models.matching import match_to_gt, sample_balanced_indices, BELOW_LOW
 from slowfast_vos_tpu.ops.boxes import box_iou, clip_boxes, decode_boxes, encode_boxes, remove_small_boxes_mask
 from slowfast_vos_tpu.ops.nms import nms_mask, top_k_after_nms
 
@@ -147,26 +147,27 @@ def rpn_loss_single(
     )
     positive = matches >= 0
     negative = matches == BELOW_LOW
-    pos_mask, neg_mask = sample_balanced(
+    # Compact sampling: the losses touch only the <=256 sampled anchors, so
+    # encode/smooth-l1/BCE run on the sampled rows, not all ~257k anchors
+    # (torchvision also gathers the sampled subset, rpn.py compute_loss).
+    idx, is_pos, valid = sample_balanced_indices(
         key,
         positive,
         negative,
         batch_size=cfg.rpn_batch_size_per_image,
         positive_fraction=cfg.rpn_positive_fraction,
     )
-    sampled = pos_mask | neg_mask
-    num_sampled = jnp.maximum(sampled.sum(), 1)
+    num_sampled = jnp.maximum(valid.sum(), 1)
 
-    matched_gt = gt_boxes[jnp.clip(matches, 0)]
-    reg_targets = encode_boxes(matched_gt, anchors_flat)
-    box_l = smooth_l1(deltas_flat - reg_targets, beta=1.0 / 9.0).sum(-1)
-    box_loss = jnp.where(pos_mask, box_l, 0.0).sum() / num_sampled
+    matched_gt = gt_boxes[jnp.clip(matches[idx], 0)]
+    reg_targets = encode_boxes(matched_gt, anchors_flat[idx])
+    box_l = smooth_l1(deltas_flat[idx] - reg_targets, beta=1.0 / 9.0).sum(-1)
+    box_loss = jnp.where(is_pos & valid, box_l, 0.0).sum() / num_sampled
 
-    labels = positive.astype(jnp.float32)
-    bce = jnp.maximum(objectness_flat, 0) - objectness_flat * labels + jnp.log1p(
-        jnp.exp(-jnp.abs(objectness_flat))
-    )
-    obj_loss = jnp.where(sampled, bce, 0.0).sum() / num_sampled
+    obj = objectness_flat[idx]
+    labels = (is_pos & valid).astype(jnp.float32)
+    bce = jnp.maximum(obj, 0) - obj * labels + jnp.log1p(jnp.exp(-jnp.abs(obj)))
+    obj_loss = jnp.where(valid, bce, 0.0).sum() / num_sampled
     return obj_loss, box_loss
 
 

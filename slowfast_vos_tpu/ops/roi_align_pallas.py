@@ -23,12 +23,24 @@ Exposed as `multiscale_roi_align_pallas` with the same API/semantics as
 hardware (sub-1e-2 vs the gather form at f32, MXU rounding).
 
 Measured status (v5e, 32 frames x 1000 rois, DAVIS pyramid, fetch-forced
-timing — scripts/profile_roialign.py): 114 ms vs 225 ms for the gather
-formulation. Each roi fetches the SMALLEST tier patch (24/40/56 px) that
-covers its sample span at its assigned level (DMA-only floor measured at
-38 ms), and the interp matrices are precomputed in XLA. The remaining wall
-is the per-roi [7,PATCH]@[PATCH,PATCH*C] MXU matmul whose M=7 occupies 7 of
-128 systolic rows — the structural floor of a per-roi separable formulation.
+timing — scripts/profile_roialign.py): 89 ms vs 225 ms for the gather
+formulation (was 114 ms before the matmuls were TIER-sized: slicing the A
+matrices and patch to the roi's DMA tier drops only exact-zero weight
+columns and cuts the dominant matmul's K,N up to (56/24)^2 = 5.4x). Each
+roi fetches the SMALLEST tier patch (24/40/56 px) that covers its sample
+span at its assigned level (DMA-only floor measured at 38 ms), and the
+interp matrices are precomputed in XLA. The remaining wall is MXU compute:
+the per-roi [7,tier]@[tier,tier*C] matmul's M=7 occupies 7 of 128 systolic
+rows — the structural floor of a per-roi separable formulation. Two
+variants that tried to break it measured WORSE and were discarded:
+cross-program double-buffering (prefetch the next program's patches during
+compute) hit 91 ms — with 4 rois/program the up-front async DMAs already
+overlap compute — and a block-diagonal form (tier-sort rois so each
+program's 4 share a tier, stack their A_y blocks into a [4*out, 4*tier]
+LHS over a strided patch scratch, raising the row matmul's M from 7 to 28)
+hit 93-94 ms: it serializes all 4 DMA waits before one matmul, losing the
+per-slot DMA/compute overlap, and pays the LHS assembly — together
+cancelling the occupancy win.
 THIS KERNEL is the production inference path for the 7x7 proposal pool
 (`Pipeline(pallas_pool7=True)`, the TPU default). The gather form remains
 the default for the mask-branch 14x14 pool, training (differentiability),

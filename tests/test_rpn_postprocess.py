@@ -130,3 +130,60 @@ def test_postprocess_respects_score_threshold():
     )
     # all proposals invalid -> nothing survives
     assert not bool(np.asarray(valid).any())
+
+
+def test_rpn_loss_compact_equals_full_anchor_formula():
+    """The compact-sampled loss must equal the full-anchor mask formulation
+    evaluated on the SAME sampled set (reconstructed from the compact
+    indices): the gather rewrite changes where the losses are computed, not
+    what they are."""
+    from slowfast_vos_tpu.models.matching import (
+        match_to_gt, sample_balanced_indices, BELOW_LOW,
+    )
+
+    cfg = DetectionConfig(max_gt=2)
+    rng = np.random.default_rng(11)
+    anchors = jnp.asarray(grid_anchors((8, 8), 4, 24.0))
+    n = anchors.shape[0]
+    gt = jnp.asarray([[2.0, 3.0, 30.0, 28.0], [10.0, 12.0, 26.0, 31.0]])
+    gt_valid = jnp.asarray([True, True])
+    obj = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+    deltas = jnp.asarray(rng.normal(size=(n, 4)) * 0.2, jnp.float32)
+    key = jax.random.PRNGKey(5)
+
+    obj_l, box_l = rpn_loss_single(key, obj, deltas, anchors, gt, gt_valid, cfg)
+
+    # reconstruct the sampled set exactly as rpn_loss_single draws it
+    from slowfast_vos_tpu.ops.boxes import box_iou, encode_boxes as enc
+
+    iou = box_iou(anchors, gt)
+    matches = match_to_gt(
+        iou, gt_valid,
+        high_threshold=cfg.rpn_fg_iou, low_threshold=cfg.rpn_bg_iou,
+        allow_low_quality=True,
+    )
+    idx, is_pos, valid = sample_balanced_indices(
+        key, matches >= 0, matches == BELOW_LOW,
+        batch_size=cfg.rpn_batch_size_per_image,
+        positive_fraction=cfg.rpn_positive_fraction,
+    )
+    idx, is_pos, valid = np.asarray(idx), np.asarray(is_pos), np.asarray(valid)
+    pos_mask = np.zeros(n, bool)
+    pos_mask[idx[valid & is_pos]] = True
+    neg_mask = np.zeros(n, bool)
+    neg_mask[idx[valid & ~is_pos]] = True
+    sampled = pos_mask | neg_mask
+    num_sampled = max(sampled.sum(), 1)
+
+    matched_gt = np.asarray(gt)[np.clip(np.asarray(matches), 0, None)]
+    reg_t = np.asarray(enc(jnp.asarray(matched_gt), anchors))
+    box_full = np.asarray(smooth_l1(deltas - reg_t, beta=1.0 / 9.0)).sum(-1)
+    box_ref = box_full[pos_mask].sum() / num_sampled
+
+    o = np.asarray(obj)
+    labels = pos_mask.astype(np.float32)
+    bce = np.maximum(o, 0) - o * labels + np.log1p(np.exp(-np.abs(o)))
+    obj_ref = bce[sampled].sum() / num_sampled
+
+    np.testing.assert_allclose(float(box_l), box_ref, rtol=1e-5)
+    np.testing.assert_allclose(float(obj_l), obj_ref, rtol=1e-5)
