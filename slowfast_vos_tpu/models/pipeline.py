@@ -215,6 +215,14 @@ class Pipeline:
             canvas = self.transform(images)
         f = self.sf.fast
         feats = self.model.apply(variables, canvas, method="backbone_feats")
+        # Zero the features of frames beyond the sequence ends so the temporal
+        # convs see zero contributions (reference zero-padding semantics,
+        # model.py:215-225). This masking is FREE on device: XLA fuses the
+        # select into the FPN output convs' epilogues (measured — a
+        # static-specialized no-mask variant replaced the 18.87 ms
+        # add_select_fusion with an 18.90 ms convolution_add_fusion of the
+        # same shape; the specialization was removed again as pure compile
+        # overhead).
         feats = [jnp.where(feat_valid[:, None, None, None], fl, 0.0) for fl in feats]
 
         center = slice(self.halo_left, self.halo_left + sc)

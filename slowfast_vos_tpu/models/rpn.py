@@ -113,6 +113,11 @@ def filter_proposals(objectness, deltas, anchors, *, image_hw, cfg: DetectionCon
         nms_thresh=cfg.rpn_nms_thresh,
         min_size=cfg.rpn_min_size,
     )
+    # Sequential per frame ON PURPOSE: a 4-frame vmapped grouping was
+    # measured WORSE (device trace: while 35->45 ms, sort 9->13 ms per
+    # superchunk) — the vmapped fixpoint-NMS while loops run in lockstep at
+    # the group's max iteration count, and the batched per-level top-k sorts
+    # lose their 1D layout.
     return jax.lax.map(
         lambda od: fn(od[0], od[1], tuple(anchors)),
         (tuple(objectness), tuple(deltas)),

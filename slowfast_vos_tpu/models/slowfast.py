@@ -126,10 +126,19 @@ class SlowFastTemporal(nn.Module):
         x = TemporalConv(
             features, kt=kt, k=3, name=f"{name}_conv", dtype=self.dtype
         )(x)
+        # BN computes in f32 (stats precision, CLAUDE.md dtype policy) but the
+        # OUTPUT casts straight back to the compute dtype: the next consumer
+        # is either a TemporalConv that casts to bf16 anyway or a monotone
+        # relu/concat (relu commutes with round-to-bf16), so downstream values
+        # are bit-identical. Measured: neutral at inference (XLA already kept
+        # the conv inputs bf16; the surviving f32 copies serve the mask-pool
+        # flatten layouts), a small win in training (183->166 ms/step across
+        # this + the compact RPN sampling; the f32 stage activations also fed
+        # the backward graph).
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name=f"{name}_bn", dtype=jnp.float32
         )(x)
-        return x
+        return x.astype(self.dtype)
 
     def _fuse(self, x, kt, name, train):
         x = TemporalConv(
@@ -138,7 +147,7 @@ class SlowFastTemporal(nn.Module):
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name=f"{name}_bn", dtype=jnp.float32
         )(x)
-        return nn.relu(x)
+        return nn.relu(x.astype(self.dtype))
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, train: bool = False, pre_padded: bool = False) -> jnp.ndarray:
