@@ -113,6 +113,15 @@ def filter_proposals(objectness, deltas, anchors, *, image_hw, cfg: DetectionCon
         nms_thresh=cfg.rpn_nms_thresh,
         min_size=cfg.rpn_min_size,
     )
+    # Flatten each level's [T,H,W,A(,4)] head outputs to [T,HWA(,4)] ONCE,
+    # batched over frames, before entering the per-frame map: the conv
+    # outputs are channel-minor tiled (A=3 padded to 128 lanes), so the
+    # flatten is a real relayout — doing it per frame inside the loop body
+    # cost ~12 ms/superchunk of copy/reshape (device trace, copy.752 +
+    # reshape.1682); `filter_proposals_single`'s own reshapes become no-ops
+    # on the flat inputs.
+    objectness = tuple(o.reshape(o.shape[0], -1) for o in objectness)
+    deltas = tuple(d.reshape(d.shape[0], -1, 4) for d in deltas)
     # Sequential per frame ON PURPOSE: a 4-frame vmapped grouping was
     # measured WORSE (device trace: while 35->45 ms, sort 9->13 ms per
     # superchunk) — the vmapped fixpoint-NMS while loops run in lockstep at
@@ -120,7 +129,7 @@ def filter_proposals(objectness, deltas, anchors, *, image_hw, cfg: DetectionCon
     # lose their 1D layout.
     return jax.lax.map(
         lambda od: fn(od[0], od[1], tuple(anchors)),
-        (tuple(objectness), tuple(deltas)),
+        (objectness, deltas),
     )
 
 

@@ -49,7 +49,11 @@ class TemporalConv(nn.Module):
     production shape, scripts/profile_enhance.py); the math is identical:
     out[t] = sum_i conv2d(x[t + i], w[i]). Parameter tree (kernel
     [kt, k, k, cin, cout] + bias) matches `nn.Conv` exactly, so existing
-    checkpoints load unchanged."""
+    checkpoints load unchanged.
+
+    `fold_scale`/`fold_shift` fold a downstream per-channel affine (an
+    eval-mode BatchNorm) into the weights in f32 BEFORE the compute-dtype
+    cast: conv(x, w*s) + (b*s + shift) == s*(conv(x, w) + b) + shift."""
 
     features: int
     kt: int
@@ -58,7 +62,12 @@ class TemporalConv(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        fold_scale: jnp.ndarray | None = None,
+        fold_shift: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
         """x: [1, T, H, W, Cin] -> [1, T - kt + 1, H, W, features]."""
         kernel = self.param(
             "kernel",
@@ -70,6 +79,9 @@ class TemporalConv(nn.Module):
             if self.use_bias
             else None
         )
+        if fold_scale is not None:
+            kernel = kernel * fold_scale
+            bias = fold_shift if bias is None else bias * fold_scale + fold_shift
         xc = x.astype(self.dtype)
         kc = kernel.astype(self.dtype)
         tout = x.shape[1] - self.kt + 1
@@ -87,6 +99,33 @@ class TemporalConv(nn.Module):
         if bias is not None:
             acc = acc + bias.astype(self.dtype)
         return acc[None]
+
+
+class _BNFold(nn.Module):
+    """Eval-mode stand-in for `nn.BatchNorm` that declares the IDENTICAL
+    parameter/batch_stats tree (so init in either mode yields the same
+    checkpointable structure) but, instead of applying the affine as a
+    separate op, RETURNS the folded (scale, shift) for the preceding conv to
+    absorb into its weights. Why: the separate f32 BN epilogue made XLA
+    materialize f32 side copies of every enhance stage output feeding the
+    mask-pool flatten path — a 1.85 GB f32 layout copy per superchunk where
+    a bf16 one suffices (device trace, copy.647)."""
+
+    features: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (self.features,)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (self.features,)
+        )
+        s = scale * jax.lax.rsqrt(var.value + self.epsilon)
+        return s, bias - mean.value * s
 
 
 def pathway_kernel_sizes(pathway_size: int) -> tuple[int, int, int]:
@@ -123,29 +162,41 @@ class SlowFastTemporal(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     def _conv_bn(self, x, features, kt, name, train):
+        # Eval: fold the running-stat BN affine into the conv weights in f32
+        # (`_BNFold`) — the conv emits final bf16 values with no separate f32
+        # epilogue. Train: real `nn.BatchNorm` in f32 (batch-stat precision,
+        # CLAUDE.md dtype policy) with the OUTPUT cast straight back to the
+        # compute dtype: the next consumer is either a TemporalConv that
+        # casts to bf16 anyway or a monotone relu/concat, so downstream
+        # values are bit-identical while the backward graph stops carrying
+        # f32 stage activations (183->166 ms/step together with the compact
+        # RPN sampling).
+        if not train:
+            s, b = _BNFold(features, name=f"{name}_bn")()
+            return TemporalConv(
+                features, kt=kt, k=3, name=f"{name}_conv", dtype=self.dtype
+            )(x, s, b)
         x = TemporalConv(
             features, kt=kt, k=3, name=f"{name}_conv", dtype=self.dtype
         )(x)
-        # BN computes in f32 (stats precision, CLAUDE.md dtype policy) but the
-        # OUTPUT casts straight back to the compute dtype: the next consumer
-        # is either a TemporalConv that casts to bf16 anyway or a monotone
-        # relu/concat (relu commutes with round-to-bf16), so downstream values
-        # are bit-identical. Measured: neutral at inference (XLA already kept
-        # the conv inputs bf16; the surviving f32 copies serve the mask-pool
-        # flatten layouts), a small win in training (183->166 ms/step across
-        # this + the compact RPN sampling; the f32 stage activations also fed
-        # the backward graph).
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=f"{name}_bn", dtype=jnp.float32
+            use_running_average=False, momentum=0.9, epsilon=1e-5, name=f"{name}_bn", dtype=jnp.float32
         )(x)
         return x.astype(self.dtype)
 
     def _fuse(self, x, kt, name, train):
+        if not train:
+            s, b = _BNFold(64, name=f"{name}_bn")()
+            return nn.relu(
+                TemporalConv(
+                    64, kt=kt, k=1, use_bias=False, name=f"{name}_conv", dtype=self.dtype
+                )(x, s, b)
+            )
         x = TemporalConv(
             64, kt=kt, k=1, use_bias=False, name=f"{name}_conv", dtype=self.dtype
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=f"{name}_bn", dtype=jnp.float32
+            use_running_average=False, momentum=0.9, epsilon=1e-5, name=f"{name}_bn", dtype=jnp.float32
         )(x)
         return nn.relu(x.astype(self.dtype))
 

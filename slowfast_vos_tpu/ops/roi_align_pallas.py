@@ -40,7 +40,11 @@ program's 4 share a tier, stack their A_y blocks into a [4*out, 4*tier]
 LHS over a strided patch scratch, raising the row matmul's M from 7 to 28)
 hit 93-94 ms: it serializes all 4 DMA waits before one matmul, losing the
 per-slot DMA/compute overlap, and pays the LHS assembly — together
-cancelling the occupancy win.
+cancelling the occupancy win. ROIS_PER_PROGRAM=8 (halving grid steps to
+amortize per-program overhead) measured 162 ms — ~2x WORSE: the per-slot
+scratch alone is then 8 x 56x56x256x2B = 12.9 MB of the core's ~16 MB
+VMEM, strangling the double-buffered output pipeline; 4 rois/program
+(6.4 MB scratch) remains the tuned optimum.
 THIS KERNEL is the production inference path for the 7x7 proposal pool
 (`Pipeline(pallas_pool7=True)`, the TPU default). The gather form remains
 the default for the mask-branch 14x14 pool, training (differentiability),
