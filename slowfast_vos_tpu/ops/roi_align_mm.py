@@ -19,12 +19,13 @@ tests/test_ops_roi_align.py.
 """
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 
-from slowfast_vos_tpu.ops.roi_align import fpn_level_assignment
+from slowfast_vos_tpu.ops.roi_align import fpn_level_assignment, multiscale_roi_align
 
 
 def _interp_matrix_1d(starts, bins, extent: int, out_size: int, sr: int, dtype):
@@ -106,3 +107,81 @@ def multiscale_roi_align_mm(
     pooled = jax.lax.map(block, (rois_b, levels_b))
     pooled = pooled.reshape(nb * roi_block, output_size, output_size, c)[:n]
     return pooled.astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _msra_mmgrad(feats, rois, spatial_scales, output_size, sampling_ratio):
+    return multiscale_roi_align(
+        list(feats), rois, spatial_scales,
+        output_size=output_size, sampling_ratio=sampling_ratio,
+    )
+
+
+def _msra_mmgrad_fwd(feats, rois, spatial_scales, output_size, sampling_ratio):
+    out = _msra_mmgrad(feats, rois, spatial_scales, output_size, sampling_ratio)
+    return out, (feats, rois)
+
+
+def _msra_mmgrad_bwd(spatial_scales, output_size, sampling_ratio, res, g):
+    feats, rois = res
+    levels = fpn_level_assignment(rois, num_levels=len(feats))
+    # Native-dtype (bf16) MXU dots on TPU; the CPU dot thunk does not
+    # implement bf16 x bf16 -> f32, so elsewhere the dots run in f32.
+    gdt = g.dtype if jax.default_backend() in ("tpu", "axon") else jnp.float32
+    grads = []
+    for li, (f, scale) in enumerate(zip(feats, spatial_scales)):
+        h, w, _ = f.shape
+        b = rois.astype(jnp.float32) * scale
+        x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+        bin_w = jnp.maximum(x2 - x1, 1.0) / output_size
+        bin_h = jnp.maximum(y2 - y1, 1.0) / output_size
+        a_y = _interp_matrix_1d(y1, bin_h, h, output_size, sampling_ratio, gdt)
+        a_x = _interp_matrix_1d(x1, bin_w, w, output_size, sampling_ratio, gdt)
+        # A roi contributes only to its assigned level: zeroing its A_y rows
+        # zeroes its whole outer product.
+        a_y = jnp.where((levels == li)[:, None, None], a_y, 0)
+        # u[n, h, q, c] = sum_p a_y[n, p, h] g[n, p, q, c]
+        u = jax.lax.dot_general(
+            a_y, g.astype(gdt),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(gdt)
+        # grad[h, w, c] = sum_{n,q} u[n, h, q, c] a_x[n, q, w]
+        gl = jax.lax.dot_general(
+            u, a_x,
+            dimension_numbers=(((0, 2), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [h, c, w]
+        grads.append(jnp.transpose(gl, (0, 2, 1)).astype(f.dtype))
+    return tuple(grads), jnp.zeros_like(rois)
+
+
+_msra_mmgrad.defvjp(_msra_mmgrad_fwd, _msra_mmgrad_bwd)
+
+
+def multiscale_roi_align_mmgrad(
+    feats: Sequence[jnp.ndarray],
+    rois: jnp.ndarray,
+    spatial_scales: Sequence[float],
+    *,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """`multiscale_roi_align` (exact gather FORWARD) with a custom VJP whose
+    feature gradient is the separable dense-matmul TRANSPOSE of the same
+    linear map: grad_feat = sum_rois A_y^T @ g @ A_x, per level, computed as
+    two batched dot_generals.
+
+    Why: pooling is linear in the features, so autodiff of the gather form
+    yields scatter-adds — 8 x ~3.5 ms/step on v5e (the single largest cost
+    of the training step, device trace), served at a few percent of HBM
+    bandwidth. The transpose-as-matmul form is the SAME gradient (identical
+    taps/weights/borders as `_interp_matrix_1d`, parity-tested against the
+    gather autodiff) as dense MXU work. Gradients w.r.t. roi coordinates
+    are 0, matching torchvision's non-differentiable-in-coords roi_align
+    (the reference's training relies on this; the pipeline also cuts them
+    with stop_gradient — train/train_step.py).
+    """
+    return _msra_mmgrad(
+        tuple(feats), rois, tuple(spatial_scales), output_size, sampling_ratio
+    )

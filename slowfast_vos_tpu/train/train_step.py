@@ -33,7 +33,7 @@ from slowfast_vos_tpu.models.heads import (
 from slowfast_vos_tpu.models.pipeline import ROI_SCALES, Pipeline
 from slowfast_vos_tpu.models.rpn import filter_proposals, rpn_loss
 from slowfast_vos_tpu.models.segmentation import TRAINABLE_TOPLEVEL
-from slowfast_vos_tpu.ops.roi_align import multiscale_roi_align
+from slowfast_vos_tpu.ops.roi_align_mm import multiscale_roi_align_mmgrad
 
 
 class TrainState(struct.PyTreeNode):
@@ -177,13 +177,16 @@ class Trainer:
             lambda k, pr, pv, gb, gl, gv: select_training_samples(k, pr, pv, gb, gl, gv, cfg)
         )(skeys, proposals, pvalid, gt_boxes, batch["labels"], gt_valid)
 
-        # Box branch. Gather-form RoIAlign: differentiable (backward is an
-        # XLA scatter), and measured equal to the matmul form in the full
-        # step (the mm form wins standalone — 5.4 vs 9.3 ms/frame fwd+bwd —
-        # but its [block, 7, W, C] temporaries cost that back in HBM traffic
-        # under the 2-frame vmap).
+        # Box branch. Gather-form RoIAlign FORWARD (exact, cheap) with the
+        # separable-matmul TRANSPOSE as its custom-VJP backward: autodiff of
+        # the gather yields scatter-adds that were the single largest cost
+        # of the step (8 x ~3.5 ms on v5e); the matmul gradient is the same
+        # linear map as dense MXU work (ops/roi_align_mm.py). The all-matmul
+        # form (fwd too) was measured to TIE in the full step — its
+        # [block, 7, W, C] forward temporaries cost the standalone win back
+        # in HBM traffic under the 2-frame vmap.
         pooled7 = jax.vmap(
-            lambda l0, l1, l2, l3, rois: multiscale_roi_align(
+            lambda l0, l1, l2, l3, rois: multiscale_roi_align_mmgrad(
                 [l0, l1, l2, l3], rois, ROI_SCALES, output_size=7
             )
         )(*enhanced, samples["boxes"])
@@ -219,7 +222,7 @@ class Trainer:
         )(masks_canvas, matched, mask_rois)
 
         pooled14 = jax.vmap(
-            lambda l0, l1, l2, l3, rois: multiscale_roi_align(
+            lambda l0, l1, l2, l3, rois: multiscale_roi_align_mmgrad(
                 [l0, l1, l2, l3], rois, ROI_SCALES, output_size=cfg.mask_roi_size
             )
         )(*enhanced, mask_rois)

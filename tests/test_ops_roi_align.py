@@ -94,3 +94,73 @@ def test_multiscale_roi_align_selects_per_level():
             roi_align(feats[l], jnp.asarray(rois[i : i + 1]), scales[l], output_size=7)
         )
         np.testing.assert_allclose(out[i], single[0], atol=1e-5)
+
+
+def test_mmgrad_forward_and_gradient_match_gather_autodiff():
+    """The custom-VJP pool (gather forward, separable-matmul backward —
+    ops/roi_align_mm.py multiscale_roi_align_mmgrad) must match the plain
+    gather form exactly in the forward AND its jax.grad in the feature
+    gradient: pooling is one linear map, the matmul backward is its
+    transpose. Rois cover all levels, fractional coords, partially/mostly
+    out-of-range boxes and degenerate (sub-1px) boxes; roi-coordinate
+    gradients are defined as 0 (torchvision parity)."""
+    import jax
+
+    from slowfast_vos_tpu.ops.roi_align_mm import multiscale_roi_align_mmgrad
+
+    rng = np.random.default_rng(7)
+    feats = [
+        jnp.asarray(rng.normal(size=(64, 96, 8)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(32, 48, 8)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(16, 24, 8)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(8, 12, 8)).astype(np.float32)),
+    ]
+    scales = (1 / 4, 1 / 8, 1 / 16, 1 / 32)
+    rois = jnp.asarray(
+        np.array(
+            [
+                [4.0, 4.0, 60.5, 40.25],    # P2
+                [0.0, 0.0, 150.0, 150.0],   # P3
+                [0.0, 0.0, 250.0, 250.0],   # P4
+                [-30.0, -30.0, 900.0, 700.0],  # clamps to P5, spills edges
+                [-8.0, -8.0, 4.0, 4.0],     # partially outside
+                [10.0, 10.0, 10.2, 10.2],   # sub-1px (floored to 1)
+                [370.0, 250.0, 400.0, 280.0],  # fully outside the map
+            ],
+            np.float32,
+        )
+    )
+    cot = jnp.asarray(rng.normal(size=(rois.shape[0], 7, 7, 8)).astype(np.float32))
+
+    def pooled_sum(fn):
+        def f(fs):
+            out = fn(fs, rois, scales, output_size=7)
+            return jnp.sum(out * cot)
+        return f
+
+    out_ref = multiscale_roi_align(feats, rois, scales, output_size=7)
+    out_new = multiscale_roi_align_mmgrad(feats, rois, scales, output_size=7)
+    np.testing.assert_allclose(np.asarray(out_new), np.asarray(out_ref), atol=1e-5)
+
+    g_ref = jax.grad(pooled_sum(lambda fs, *a, **k: multiscale_roi_align(list(fs), *a, **k)))(tuple(feats))
+    g_new = jax.grad(pooled_sum(multiscale_roi_align_mmgrad))(tuple(feats))
+    for lr, ln in zip(g_ref, g_new):
+        np.testing.assert_allclose(np.asarray(ln), np.asarray(lr), atol=1e-4)
+
+    # vmap over a frame axis (the production use) keeps grads exact too.
+    frois = jnp.stack([rois, rois[::-1]])
+    fcot = jnp.stack([cot, cot + 1.0])
+    ffeats = [jnp.stack([f, f * 0.5]) for f in feats]
+
+    def batched(fn):
+        def f(fs):
+            out = jax.vmap(
+                lambda l0, l1, l2, l3, r: fn([l0, l1, l2, l3], r, scales, output_size=7)
+            )(*fs, frois)
+            return jnp.sum(out * fcot)
+        return f
+
+    gb_ref = jax.grad(batched(lambda fs, *a, **k: multiscale_roi_align(list(fs), *a, **k)))(tuple(ffeats))
+    gb_new = jax.grad(batched(multiscale_roi_align_mmgrad))(tuple(ffeats))
+    for lr, ln in zip(gb_ref, gb_new):
+        np.testing.assert_allclose(np.asarray(ln), np.asarray(lr), atol=1e-4)
