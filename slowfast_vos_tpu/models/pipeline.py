@@ -90,6 +90,12 @@ class Pipeline:
         self._superchunk = jax.jit(
             self._superchunk_impl, static_argnames=("instance_masks",)
         )
+        self._superchunk_first = jax.jit(
+            self._superchunk_first_impl, static_argnames=("instance_masks",)
+        )
+        self._superchunk_carry = jax.jit(
+            self._superchunk_carry_impl, static_argnames=("instance_masks",)
+        )
 
     # ---- jitted stage impls -------------------------------------------------
 
@@ -213,8 +219,58 @@ class Pipeline:
         else:
             sc = images.shape[0] - (self.sf.fast - 1)
             canvas = self.transform(images)
-        f = self.sf.fast
         feats = self.model.apply(variables, canvas, method="backbone_feats")
+        outs, _carry = self._detect_finalize(
+            variables, feats, feat_valid, sc, instance_masks
+        )
+        return outs
+
+    def _superchunk_first_impl(self, variables, images, feat_valid, instance_masks: bool = False):
+        """`_superchunk_impl` that ALSO returns the backbone-feature carry for
+        the next chunk (`infer_sequence`'s first chunk; see
+        `_superchunk_carry_impl`)."""
+        if isinstance(images, tuple):
+            y, uv = images
+            sc = y.shape[0] - (self.sf.fast - 1)
+            canvas = self.transform.from_yuv420(y, uv)
+        else:
+            sc = images.shape[0] - (self.sf.fast - 1)
+            canvas = self.transform(images)
+        feats = self.model.apply(variables, canvas, method="backbone_feats")
+        return self._detect_finalize(variables, feats, feat_valid, sc, instance_masks)
+
+    def _superchunk_carry_impl(
+        self, variables, images, feat_valid, carry, instance_masks: bool = False
+    ):
+        """Steady-state superchunk: consumes only the SC NEW frames plus the
+        F-1 overlap frames' backbone features carried on-device from the
+        previous chunk. Consecutive windows overlap by F-1 frames (the
+        temporal halo); recomputing transform+backbone on them cost
+        ~11 ms/superchunk of device time AND re-uploaded 2 of 34 frames per
+        chunk on a link where upload bytes are the wall-clock bottleneck
+        (CLAUDE.md). The carried features were masked by the previous
+        chunk's feat_valid for the same global frames, so results are
+        bit-identical to the full recompute (tested).
+
+        images: [SC, H0, W0, 3] (or YUV tuple) — frames [c+hr, c+sc+hr);
+        feat_valid: [SC+F-1] for the FULL window [c-hl, c+sc+hr);
+        carry: 5 levels [F-1, h, w, 256] — features of [c-hl, c+hr).
+        """
+        sc = images[0].shape[0] if isinstance(images, tuple) else images.shape[0]
+        canvas = (
+            self.transform.from_yuv420(*images)
+            if isinstance(images, tuple)
+            else self.transform(images)
+        )
+        new_feats = self.model.apply(variables, canvas, method="backbone_feats")
+        feats = [jnp.concatenate([cf, nf]) for cf, nf in zip(carry, new_feats)]
+        return self._detect_finalize(variables, feats, feat_valid, sc, instance_masks)
+
+    def _detect_finalize(self, variables, feats, feat_valid, sc, instance_masks):
+        """Shared superchunk core: masked features -> RPN -> SlowFast ->
+        RoI heads -> finalize. Returns (outputs, carry) where carry is the
+        last F-1 frames' (masked) features of all 5 levels — exactly the
+        next window's overlap [c+sc-hl, c+sc+hr)."""
         # Zero the features of frames beyond the sequence ends so the temporal
         # convs see zero contributions (reference zero-padding semantics,
         # model.py:215-225). This masking is FREE on device: XLA fuses the
@@ -239,7 +295,9 @@ class Pipeline:
             variables, enhanced, proposals, pvalid
         )
         finalize = self._finalize_instances_impl if instance_masks else self._finalize_impl
-        return finalize(boxes, scores, labels, dvalid, mask_probs)
+        return finalize(boxes, scores, labels, dvalid, mask_probs), [
+            fl[sc:] for fl in feats
+        ]
 
     def forward_superchunk(self, variables, images, feat_valid):
         """PUBLIC jittable full-pipeline forward on one superchunk — the
@@ -313,28 +371,40 @@ class Pipeline:
         if transport == "yuv420":
             from slowfast_vos_tpu.models.transform import rgb_to_yuv420
 
+        # Steady-state chunks carry the F-1 overlap frames' backbone features
+        # on-device (`_superchunk_carry_impl`): only the SC new frames are
+        # uploaded and run through transform+backbone. Bit-identical to the
+        # full recompute; F=1 has no overlap, so no carry path.
+        use_carry = self.sf.fast > 1
+        carry = None
         pending = []
         for c in range(0, t, sc):
-            idxs = np.arange(c - hl, c + sc + hr)
-            in_range = (idxs >= 0) & (idxs < t)
+            widxs = np.arange(c - hl, c + sc + hr)
+            in_range = (widxs >= 0) & (widxs < t)
+            idxs = widxs if carry is None else widxs[self.sf.fast - 1 :]
             window = images[np.clip(idxs, 0, t - 1)].copy()
-            window[~in_range] = 0
+            window[~((idxs >= 0) & (idxs < t))] = 0
             if transport == "yuv420":
                 y, uv = rgb_to_yuv420(window)
                 dev_images = (jnp.asarray(y), jnp.asarray(uv))
             else:
                 dev_images = jnp.asarray(window)
-            pending.append(
-                (
-                    min(sc, t - c),
-                    self._superchunk(
-                        variables,
-                        dev_images,
-                        jnp.asarray(in_range),
-                        instance_masks=instance_masks,
-                    ),
+            if carry is None and use_carry:
+                outs, carry = self._superchunk_first(
+                    variables, dev_images, jnp.asarray(in_range),
+                    instance_masks=instance_masks,
                 )
-            )
+            elif carry is None:
+                outs = self._superchunk(
+                    variables, dev_images, jnp.asarray(in_range),
+                    instance_masks=instance_masks,
+                )
+            else:
+                outs, carry = self._superchunk_carry(
+                    variables, dev_images, jnp.asarray(in_range), carry,
+                    instance_masks=instance_masks,
+                )
+            pending.append((min(sc, t - c), outs))
 
         # Concatenate per-chunk results on device, fetch once.
         cat = [jnp.concatenate([p[1][i] for p in pending]) for i in range(5)]

@@ -170,3 +170,54 @@ def test_yuv420_transport_end_to_end(tiny_pipeline):
         assert np.isfinite(d["boxes"]).all()
         assert d["union_mask"].shape == (60, 100)
         assert (d["boxes"][:, [0, 2]] <= 100 + 1e-3).all()
+
+
+def test_carry_path_matches_plain_superchunks():
+    """Steady-state chunks reuse the carried overlap features
+    (`_superchunk_carry_impl`); results must be BIT-identical to running
+    every chunk through the plain full-window graph (the overlap frames'
+    masked features are deterministic recomputation either way). Covers a
+    3-chunk sequence with a partial last chunk."""
+    import jax.numpy as jnp
+
+    pipe, model = build_pipeline(
+        slow=1,
+        fast=3,
+        original_hw=(60, 100),
+        min_size=64,
+        max_size=128,
+        cfg=TINY_CFG,
+        backbone_batch=4,
+        chunk=4,
+        superchunk=4,
+    )
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    t, sc = 10, 4
+    hl, hr = pipe.halo_left, pipe.halo_right
+    rng = np.random.default_rng(11)
+    images = rng.integers(0, 255, (t, 60, 100, 3), dtype=np.uint8)
+
+    dets = pipe.infer_sequence(variables, images)  # carry path
+
+    # plain path: every chunk through the full-window graph (pre-carry loop)
+    plain = []
+    for c in range(0, t, sc):
+        idxs = np.arange(c - hl, c + sc + hr)
+        in_range = (idxs >= 0) & (idxs < t)
+        window = images[np.clip(idxs, 0, t - 1)].copy()
+        window[~in_range] = 0
+        outs = pipe._superchunk(variables, jnp.asarray(window), jnp.asarray(in_range))
+        n = min(sc, t - c)
+        for f in range(n):
+            plain.append([np.asarray(o[f]) for o in outs])
+
+    assert len(plain) == t
+    for d, p in zip(dets, plain):
+        np.testing.assert_array_equal(d["boxes"], p[0])
+        np.testing.assert_array_equal(d["scores"], p[1])
+        np.testing.assert_array_equal(d["labels"], p[2])
+        np.testing.assert_array_equal(d["valid"], p[3])
+        np.testing.assert_array_equal(
+            d["union_mask"].astype(np.uint8),
+            np.unpackbits(p[4], axis=-1, count=100),
+        )
