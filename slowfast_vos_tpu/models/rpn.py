@@ -36,8 +36,15 @@ class RPNHead(nn.Module):
         logits, deltas = [], []
         for f in feats:
             t = nn.relu(conv(f))
-            logits.append(cls(t).astype(jnp.float32))
-            d = reg(t).astype(jnp.float32)
+            # Stay in the compute dtype: consumers cast to f32 only AFTER the
+            # per-level top-k gather (filter_proposals) or the sampled-row
+            # gather (rpn_loss). bf16 -> f32 casting is exact, and comparisons
+            # between bf16 values equal their f32 casts' comparisons, so
+            # selection/ordering is bit-identical while the full-anchor
+            # flatten relayout moves half the bytes (~5 ms/superchunk of f32
+            # copies on the [T,193536,4] P2 deltas, device trace copy.388).
+            logits.append(cls(t))
+            d = reg(t)
             deltas.append(d.reshape(*d.shape[:-1], self.num_anchors, 4))
         return logits, deltas
 
@@ -99,38 +106,67 @@ def filter_proposals_single(
 
 
 def filter_proposals(objectness, deltas, anchors, *, image_hw, cfg: DetectionConfig, training: bool):
-    """Per-frame proposal filtering, sequential over frames (lax.map): the
-    fixpoint NMS holds an [N_cand, N_cand] IoU matrix (~100 MB at eval sizes),
-    which must not be batched across a whole superchunk.
-    objectness[l]: [T,H,W,A]."""
+    """Proposal filtering for a whole clip. objectness[l]: [T,H,W,A].
+
+    Identical selection to mapping `filter_proposals_single` per frame
+    (torchvision `filter_proposals` semantics, `code/helpers/model.py:236-240`
+    via the RPN), restructured for the device:
+
+    * per-level top-k + candidate gather + decode/clip/min-size run BATCHED
+      over all frames BEFORE the per-frame loop, so the loop carries
+      [T, L, K, 4] candidates instead of the full [T, ~257k, 4] head outputs
+      (whose in-loop dynamic-slices + relayout copies cost ~10 ms/superchunk,
+      device trace copy.388 + dynamic-slice_bitcast_fusion.30);
+    * the head outputs stay bf16 until after the gather (exact — see RPNHead);
+    * only the fixpoint NMS and the final cross-level top-k stay in the
+      sequential per-frame map: the NMS holds an [K, K] IoU matrix per level
+      (~100 MB batched across a superchunk) and must not be batched. A
+      4-frame vmapped grouping was also measured WORSE (while 35->45 ms —
+      lockstep iteration counts).
+    """
     pre = cfg.rpn_pre_nms_top_n_train if training else cfg.rpn_pre_nms_top_n_test
     post = cfg.rpn_post_nms_top_n_train if training else cfg.rpn_post_nms_top_n_test
-    fn = functools.partial(
-        filter_proposals_single,
-        image_hw=image_hw,
-        pre_nms_top_n=pre,
-        post_nms_top_n=post,
-        nms_thresh=cfg.rpn_nms_thresh,
-        min_size=cfg.rpn_min_size,
-    )
-    # Flatten each level's [T,H,W,A(,4)] head outputs to [T,HWA(,4)] ONCE,
-    # batched over frames, before entering the per-frame map: the conv
-    # outputs are channel-minor tiled (A=3 padded to 128 lanes), so the
-    # flatten is a real relayout — doing it per frame inside the loop body
-    # cost ~12 ms/superchunk of copy/reshape (device trace, copy.752 +
-    # reshape.1682); `filter_proposals_single`'s own reshapes become no-ops
-    # on the flat inputs.
-    objectness = tuple(o.reshape(o.shape[0], -1) for o in objectness)
-    deltas = tuple(d.reshape(d.shape[0], -1, 4) for d in deltas)
-    # Sequential per frame ON PURPOSE: a 4-frame vmapped grouping was
-    # measured WORSE (device trace: while 35->45 ms, sort 9->13 ms per
-    # superchunk) — the vmapped fixpoint-NMS while loops run in lockstep at
-    # the group's max iteration count, and the batched per-level top-k sorts
-    # lose their 1D layout.
-    return jax.lax.map(
-        lambda od: fn(od[0], od[1], tuple(anchors)),
-        (objectness, deltas),
-    )
+    t = objectness[0].shape[0]
+    # Flatten [T,H,W,A(,4)] -> [T,HWA(,4)] batched (the conv outputs are
+    # channel-minor tiled with A=3 padded to 128 lanes, so this is a real
+    # relayout; doing it per frame cost ~12 ms/superchunk).
+    objectness = tuple(o.reshape(t, -1) for o in objectness)
+    deltas = tuple(d.reshape(t, -1, 4) for d in deltas)
+    kmax = min(pre, max(o.shape[1] for o in objectness))
+    cand_boxes, cand_scores, cand_valid = [], [], []
+    for obj, dlt, anc in zip(objectness, deltas, anchors):
+        k = min(pre, obj.shape[1])
+        top_s, top_i = jax.lax.top_k(obj, k)  # [T, k]
+        d = jnp.take_along_axis(dlt, top_i[..., None], axis=1).astype(jnp.float32)
+        boxes = clip_boxes(decode_boxes(d, anc[top_i]), image_hw)
+        lvalid = remove_small_boxes_mask(boxes, cfg.rpn_min_size)
+        top_s = top_s.astype(jnp.float32)
+        if k < kmax:  # pad small levels so levels stack
+            boxes = jnp.pad(boxes, ((0, 0), (0, kmax - k), (0, 0)))
+            top_s = jnp.pad(top_s, ((0, 0), (0, kmax - k)), constant_values=-jnp.inf)
+            lvalid = jnp.pad(lvalid, ((0, 0), (0, kmax - k)))
+        cand_boxes.append(boxes)
+        cand_scores.append(top_s)
+        cand_valid.append(lvalid)
+    boxes = jnp.stack(cand_boxes, axis=1)  # [T, L, K, 4]
+    scores = jnp.stack(cand_scores, axis=1)
+    valid = jnp.stack(cand_valid, axis=1)
+
+    nms_thresh = cfg.rpn_nms_thresh
+
+    def _nms_one(args):
+        b, s, v = args
+        # torchvision's `batched_nms` over FPN levels never lets levels
+        # suppress each other (category-offset trick) -> one independent NMS
+        # per level, vmapped (filter_proposals_single docstring).
+        keep, _order = jax.vmap(
+            lambda bb, ss, vv: nms_mask(bb, ss, vv, iou_threshold=nms_thresh)
+        )(b, s, v)
+        flat_s = s.reshape(-1)
+        idx, out_valid = top_k_after_nms(keep.reshape(-1), None, flat_s, post)
+        return b.reshape(-1, 4)[idx], flat_s[idx], out_valid
+
+    return jax.lax.map(_nms_one, (boxes, scores, valid))
 
 
 def smooth_l1(x, beta):
@@ -188,8 +224,15 @@ def rpn_loss_single(
 def rpn_loss(key, objectness, deltas, anchors, gt_boxes, gt_valid, cfg: DetectionConfig):
     """Batched over frames. objectness[l]: [T,H,W,A]; gt_boxes: [T,MAX_GT,4]."""
     t = gt_boxes.shape[0]
-    obj_flat = jnp.concatenate([o.reshape(t, -1) for o in objectness], axis=1)
-    dlt_flat = jnp.concatenate([d.reshape(t, -1, 4) for d in deltas], axis=1)
+    # Head outputs arrive bf16 (RPNHead); the loss math runs in f32 on the
+    # sampled rows — casting the flatten here (not in the head) keeps values
+    # identical (bf16 -> f32 is exact) at half the relayout traffic.
+    obj_flat = jnp.concatenate(
+        [o.reshape(t, -1) for o in objectness], axis=1
+    ).astype(jnp.float32)
+    dlt_flat = jnp.concatenate(
+        [d.reshape(t, -1, 4) for d in deltas], axis=1
+    ).astype(jnp.float32)
     anc_flat = jnp.concatenate(list(anchors), axis=0)
     keys = jax.random.split(key, t)
     obj_l, box_l = jax.vmap(

@@ -187,3 +187,56 @@ def test_rpn_loss_compact_equals_full_anchor_formula():
 
     np.testing.assert_allclose(float(box_l), box_ref, rtol=1e-5)
     np.testing.assert_allclose(float(obj_l), obj_ref, rtol=1e-5)
+
+
+def test_filter_proposals_batched_matches_per_frame_single():
+    """The clip-level `filter_proposals` (batched pre-NMS top-k/decode, bf16
+    head outputs) must select bit-identically to mapping
+    `filter_proposals_single` over f32 per-frame inputs: bf16 -> f32 casting
+    is exact, so ordering, ties, decode, and NMS all coincide. Two FPN levels
+    of different sizes exercise the level padding; quantized scores force
+    ties."""
+    from slowfast_vos_tpu.models.rpn import filter_proposals
+
+    cfg = DetectionConfig(
+        rpn_pre_nms_top_n_test=32, rpn_post_nms_top_n_test=16,
+        rpn_nms_thresh=0.7, rpn_min_size=1e-3,
+    )
+    anchors = (
+        jnp.asarray(grid_anchors((6, 6), 8, 32.0)),
+        jnp.asarray(grid_anchors((3, 3), 16, 64.0)),
+    )
+    rng = np.random.default_rng(7)
+    t = 3
+    # bf16-valued, tie-heavy scores (quantized to 0.25 steps)
+    obj = tuple(
+        jnp.asarray(
+            np.round(rng.normal(size=(t, h, w, 3)) * 4) / 4, np.float32
+        ).astype(jnp.bfloat16)
+        for h, w in ((6, 6), (3, 3))
+    )
+    dlt = tuple(
+        jnp.asarray(rng.normal(size=(t, h, w, 3, 4)) * 0.1, np.float32).astype(
+            jnp.bfloat16
+        )
+        for h, w in ((6, 6), (3, 3))
+    )
+    image_hw = (48.0, 48.0)
+
+    got_b, got_s, got_v = filter_proposals(
+        obj, dlt, anchors, image_hw=image_hw, cfg=cfg, training=False
+    )
+    for f in range(t):
+        wb, ws, wv = filter_proposals_single(
+            tuple(o[f].astype(jnp.float32) for o in obj),
+            tuple(d[f].astype(jnp.float32) for d in dlt),
+            anchors,
+            image_hw=image_hw,
+            pre_nms_top_n=cfg.rpn_pre_nms_top_n_test,
+            post_nms_top_n=cfg.rpn_post_nms_top_n_test,
+            nms_thresh=cfg.rpn_nms_thresh,
+            min_size=cfg.rpn_min_size,
+        )
+        np.testing.assert_array_equal(np.asarray(got_v[f]), np.asarray(wv))
+        np.testing.assert_array_equal(np.asarray(got_s[f]), np.asarray(ws))
+        np.testing.assert_array_equal(np.asarray(got_b[f]), np.asarray(wb))
