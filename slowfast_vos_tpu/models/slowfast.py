@@ -41,27 +41,79 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-class TemporalConv(nn.Module):
-    """(kt, k, k) valid-time conv3d computed as kt summed 2D convs.
+def temporal_conv_apply(x, kernel, bias, dtype) -> jnp.ndarray:
+    """Valid-time (kt, k, k) conv3d computed as kt summed 2D convs.
 
     XLA's 2D convolution path is markedly better tuned on TPU than conv3d
     with small temporal kernels (measured 1.44x on the enhance stage at
     production shape, scripts/profile_enhance.py); the math is identical:
-    out[t] = sum_i conv2d(x[t + i], w[i]). Parameter tree (kernel
-    [kt, k, k, cin, cout] + bias) matches `nn.Conv` exactly, so existing
-    checkpoints load unchanged.
+    out[t] = sum_i conv2d(x[t + i], w[i]).
+
+    x: [1, T, H, W, Cin], kernel: [kt, k, k, Cin, Cout] ->
+    [1, T - kt + 1, H, W, Cout]."""
+    kt, k = kernel.shape[0], kernel.shape[1]
+    xc = x.astype(dtype)
+    kc = kernel.astype(dtype)
+    tout = x.shape[1] - kt + 1
+    p = k // 2
+    acc = None
+    for i in range(kt):
+        o = jax.lax.conv_general_dilated(
+            xc[0, i : i + tout],
+            kc[i],
+            (1, 1),
+            [(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        acc = o if acc is None else acc + o
+    if bias is not None:
+        acc = acc + bias.astype(dtype)
+    return acc[None]
+
+
+class TemporalConv(nn.Module):
+    """(kt, k, k) valid-time conv3d (see `temporal_conv_apply`). Parameter
+    tree (kernel [kt, k, k, cin, cout] + bias) matches `nn.Conv` exactly, so
+    existing checkpoints load unchanged.
 
     `fold_scale`/`fold_shift` fold a downstream per-channel affine (an
     eval-mode BatchNorm) into the weights in f32 BEFORE the compute-dtype
-    cast: conv(x, w*s) + (b*s + shift) == s*(conv(x, w) + b) + shift."""
+    cast: conv(x, w*s) + (b*s + shift) == s*(conv(x, w) + b) + shift.
+
+    Setup-style (not compact) so `folded()` can expose the weights to the
+    stage-1 slow+fast merged conv (`SlowFastTemporal`) without applying them;
+    `cin` is therefore an explicit field. Param paths and init values are
+    identical to the previous compact form."""
 
     features: int
+    cin: int
     kt: int
     k: int  # spatial kernel side (3 with SAME-style 1-pad, or 1 with none)
     use_bias: bool = True
     dtype: jnp.dtype = jnp.bfloat16
 
-    @nn.compact
+    def setup(self):
+        self.kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kt, self.k, self.k, self.cin, self.features),
+        )
+        if self.use_bias:
+            self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+    def folded(
+        self,
+        fold_scale: jnp.ndarray | None = None,
+        fold_shift: jnp.ndarray | None = None,
+    ):
+        """(kernel, bias) with an optional downstream affine folded in (f32)."""
+        kernel = self.kernel
+        bias = self.bias if self.use_bias else None
+        if fold_scale is not None:
+            kernel = kernel * fold_scale
+            bias = fold_shift if bias is None else bias * fold_scale + fold_shift
+        return kernel, bias
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -69,36 +121,8 @@ class TemporalConv(nn.Module):
         fold_shift: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         """x: [1, T, H, W, Cin] -> [1, T - kt + 1, H, W, features]."""
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (self.kt, self.k, self.k, x.shape[-1], self.features),
-        )
-        bias = (
-            self.param("bias", nn.initializers.zeros, (self.features,))
-            if self.use_bias
-            else None
-        )
-        if fold_scale is not None:
-            kernel = kernel * fold_scale
-            bias = fold_shift if bias is None else bias * fold_scale + fold_shift
-        xc = x.astype(self.dtype)
-        kc = kernel.astype(self.dtype)
-        tout = x.shape[1] - self.kt + 1
-        p = self.k // 2
-        acc = None
-        for i in range(self.kt):
-            o = jax.lax.conv_general_dilated(
-                xc[0, i : i + tout],
-                kc[i],
-                (1, 1),
-                [(p, p), (p, p)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            acc = o if acc is None else acc + o
-        if bias is not None:
-            acc = acc + bias.astype(self.dtype)
-        return acc[None]
+        kernel, bias = self.folded(fold_scale, fold_shift)
+        return temporal_conv_apply(x, kernel, bias, self.dtype)
 
 
 class _BNFold(nn.Module):
@@ -174,10 +198,10 @@ class SlowFastTemporal(nn.Module):
         if not train:
             s, b = _BNFold(features, name=f"{name}_bn")()
             return TemporalConv(
-                features, kt=kt, k=3, name=f"{name}_conv", dtype=self.dtype
+                features, cin=x.shape[-1], kt=kt, k=3, name=f"{name}_conv", dtype=self.dtype
             )(x, s, b)
         x = TemporalConv(
-            features, kt=kt, k=3, name=f"{name}_conv", dtype=self.dtype
+            features, cin=x.shape[-1], kt=kt, k=3, name=f"{name}_conv", dtype=self.dtype
         )(x)
         x = nn.BatchNorm(
             use_running_average=False, momentum=0.9, epsilon=1e-5, name=f"{name}_bn", dtype=jnp.float32
@@ -189,11 +213,11 @@ class SlowFastTemporal(nn.Module):
             s, b = _BNFold(64, name=f"{name}_bn")()
             return nn.relu(
                 TemporalConv(
-                    64, kt=kt, k=1, use_bias=False, name=f"{name}_conv", dtype=self.dtype
+                    64, cin=x.shape[-1], kt=kt, k=1, use_bias=False, name=f"{name}_conv", dtype=self.dtype
                 )(x, s, b)
             )
         x = TemporalConv(
-            64, kt=kt, k=1, use_bias=False, name=f"{name}_conv", dtype=self.dtype
+            64, cin=x.shape[-1], kt=kt, k=1, use_bias=False, name=f"{name}_conv", dtype=self.dtype
         )(x)
         x = nn.BatchNorm(
             use_running_average=False, momentum=0.9, epsilon=1e-5, name=f"{name}_bn", dtype=jnp.float32
@@ -225,9 +249,49 @@ class SlowFastTemporal(nn.Module):
         fast_x = padded[None]  # [1, T+F-1, H, W, C]
         slow_x = padded[None, d : d + t + s - 1]
 
-        # Stage 1
-        slow_x = nn.relu(self._conv_bn(slow_x, 192, ks1, "slow1", train))
-        fast_x = nn.relu(self._conv_bn(fast_x, 32, kf1, "fast1", train))
+        # Stage 1. When s == f the two pathways' stage-1 convs consume the
+        # IDENTICAL input with the same temporal kernel (d == 0, ks1 == kf1),
+        # so they run as ONE 256 -> 224 conv with kernels concatenated along
+        # cout at apply time: bit-identical outputs, unchanged param tree,
+        # one pass over the (GB-scale) input instead of two — and the fast
+        # conv's cout=32 (a quarter of one 128-lane MXU tile) stops wasting
+        # three quarters of the systolic array on its separate dispatch.
+        if s == f:
+            cin = padded.shape[-1]
+            slow_c = TemporalConv(192, cin=cin, kt=ks1, k=3, name="slow1_conv", dtype=self.dtype)
+            fast_c = TemporalConv(32, cin=cin, kt=kf1, k=3, name="fast1_conv", dtype=self.dtype)
+            if not train:
+                s1s, s1b = _BNFold(192, name="slow1_bn")()
+                f1s, f1b = _BNFold(32, name="fast1_bn")()
+                sk, sb = slow_c.folded(s1s, s1b)
+                fk, fb = fast_c.folded(f1s, f1b)
+                merged = nn.relu(
+                    temporal_conv_apply(
+                        fast_x,
+                        jnp.concatenate([sk, fk], axis=-1),
+                        jnp.concatenate([sb, fb]),
+                        self.dtype,
+                    )
+                )
+                slow_x, fast_x = merged[..., :192], merged[..., 192:]
+            else:
+                sk, sb = slow_c.folded()
+                fk, fb = fast_c.folded()
+                merged = temporal_conv_apply(
+                    fast_x,
+                    jnp.concatenate([sk, fk], axis=-1),
+                    jnp.concatenate([sb, fb]),
+                    self.dtype,
+                )
+                bn = lambda v, name: nn.BatchNorm(
+                    use_running_average=False, momentum=0.9, epsilon=1e-5,
+                    name=name, dtype=jnp.float32,
+                )(v).astype(self.dtype)
+                slow_x = nn.relu(bn(merged[..., :192], "slow1_bn"))
+                fast_x = nn.relu(bn(merged[..., 192:], "fast1_bn"))
+        else:
+            slow_x = nn.relu(self._conv_bn(slow_x, 192, ks1, "slow1", train))
+            fast_x = nn.relu(self._conv_bn(fast_x, 32, kf1, "fast1", train))
         slow_x = jnp.concatenate([slow_x, self._fuse(fast_x, kfuse1, "f2s1", train)], axis=-1)
 
         # Stage 2

@@ -111,3 +111,47 @@ def test_train_bn_clip_vs_per_window_divergence_is_small():
         [mod.apply(variables, feats[f : f + fast], pre_padded=True)[0] for f in range(n_center)]
     )
     np.testing.assert_allclose(np.asarray(ours_eval), np.asarray(ref_eval), atol=2e-4)
+
+
+def test_stage1_merged_conv_equals_separate_pathway_convs():
+    """The s==f stage-1 merged conv (one 256->224 conv with cout-concatenated
+    kernels, slowfast.py `SlowFastTemporal.__call__`) must equal running the
+    slow and fast convs separately on the same input: per-output-channel
+    reductions are independent of cout, so the concat is exact."""
+    from slowfast_vos_tpu.models.slowfast import temporal_conv_apply
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 5, 6, 6, 16)).astype(np.float32))
+    ws = jnp.asarray(rng.normal(size=(2, 3, 3, 16, 12)).astype(np.float32))
+    wf = jnp.asarray(rng.normal(size=(2, 3, 3, 16, 4)).astype(np.float32))
+    bs = jnp.asarray(rng.normal(size=(12,)).astype(np.float32))
+    bf = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+
+    merged = temporal_conv_apply(
+        x, jnp.concatenate([ws, wf], axis=-1), jnp.concatenate([bs, bf]), jnp.float32
+    )
+    sep = jnp.concatenate(
+        [
+            temporal_conv_apply(x, ws, bs, jnp.float32),
+            temporal_conv_apply(x, wf, bf, jnp.float32),
+        ],
+        axis=-1,
+    )
+    np.testing.assert_array_equal(np.asarray(merged), np.asarray(sep))
+
+
+def test_merged_stage1_keeps_param_tree_and_train_stats():
+    """s==f merged stage 1 must keep the checkpointable tree identical to the
+    separate-path form (slow1_conv/fast1_conv kernels + slow1_bn/fast1_bn)
+    and update both pathways' BN stats in training."""
+    mod = SlowFastTemporal(slow=3, fast=3, channels=8, dtype=jnp.float32)
+    feats = jnp.asarray(np.random.default_rng(0).normal(size=(4, 4, 4, 8)), jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(0), feats)
+    assert variables["params"]["slow1_conv"]["kernel"].shape == (1, 3, 3, 8, 192)
+    assert variables["params"]["fast1_conv"]["kernel"].shape == (1, 3, 3, 8, 32)
+    _, updates = mod.apply(variables, feats, train=True, mutable=["batch_stats"])
+    for name in ("slow1_bn", "fast1_bn"):
+        assert not np.allclose(
+            np.asarray(variables["batch_stats"][name]["mean"]),
+            np.asarray(updates["batch_stats"][name]["mean"]),
+        ), name
