@@ -21,6 +21,26 @@ from slowfast_vos_tpu.ops.boxes import box_iou, clip_boxes, decode_boxes, encode
 from slowfast_vos_tpu.ops.nms import nms_mask, top_k_after_nms
 
 
+class _Conv1x1Params(nn.Module):
+    """Parameter holder structurally identical to a 1x1 `nn.Conv` (kernel
+    [1, 1, cin, features] lecun-normal + bias zeros, same names/init), but
+    returning the weights instead of applying them — so `RPNHead` can run
+    its objectness and box-delta heads as ONE cout-concatenated conv while
+    keeping the checkpoint tree identical to separate convs."""
+
+    features: int
+    cin: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, self.cin, self.features)
+        )
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+    def __call__(self):
+        return self.kernel, self.bias
+
+
 class RPNHead(nn.Module):
     """Shared 3x3 conv + 1x1 objectness / 1x1 box-delta heads per FPN level."""
 
@@ -31,8 +51,16 @@ class RPNHead(nn.Module):
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]):
         conv = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)], name="conv", dtype=self.dtype)
-        cls = nn.Conv(self.num_anchors, (1, 1), name="cls_logits", dtype=self.dtype)
-        reg = nn.Conv(self.num_anchors * 4, (1, 1), name="bbox_pred", dtype=self.dtype)
+        a = self.num_anchors
+        # The two 1x1 heads read the identical activation with cout 3 and 12
+        # — each a sliver of one 128-lane MXU tile dispatched separately.
+        # Concatenating their kernels along cout runs them as ONE 256->15
+        # conv per level (bit-identical per output channel, checkpoint tree
+        # unchanged) and reads the [T, H, W, 256] activation once, not twice.
+        ck, cb = _Conv1x1Params(a, self.channels, name="cls_logits")()
+        rk, rb = _Conv1x1Params(a * 4, self.channels, name="bbox_pred")()
+        wk = jnp.concatenate([ck, rk], axis=-1).astype(self.dtype)
+        wb = jnp.concatenate([cb, rb]).astype(self.dtype)
         logits, deltas = [], []
         for f in feats:
             t = nn.relu(conv(f))
@@ -43,9 +71,15 @@ class RPNHead(nn.Module):
             # selection/ordering is bit-identical while the full-anchor
             # flatten relayout moves half the bytes (~5 ms/superchunk of f32
             # copies on the [T,193536,4] P2 deltas, device trace copy.388).
-            logits.append(cls(t))
-            d = reg(t)
-            deltas.append(d.reshape(*d.shape[:-1], self.num_anchors, 4))
+            o = (
+                jax.lax.conv_general_dilated(
+                    t.astype(self.dtype), wk, (1, 1), [(0, 0), (0, 0)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                + wb
+            )
+            logits.append(o[..., :a])
+            deltas.append(o[..., a:].reshape(*o.shape[:-1], a, 4))
         return logits, deltas
 
 
