@@ -119,6 +119,34 @@ def main():
     timeit("B: raw conv3d, all-bf16, folded BN", jax.jit(partial(run, conv3d)), x)
     timeit("C: conv3d as summed 2D convs", jax.jit(partial(run, conv3d_as_2d)), x)
 
+    def conv3d_as_2d_outshift(v, w):
+        # Variant E: avoid the per-tap INPUT slices (each a leading-dim copy
+        # of the whole GB-scale input if XLA materializes them) by running
+        # each tap's 2D conv over the FULL T frames and summing shifted
+        # OUTPUT slices instead (outputs are cout-sized — up to 8x smaller
+        # for the fast pathway).
+        kt = w.shape[0]
+        tout = v.shape[1] - kt + 1
+        pad = [(1, 1), (1, 1)] if w.shape[1] == 3 else [(0, 0), (0, 0)]
+        full = [
+            jax.lax.conv_general_dilated(
+                v[0], w[i], (1, 1), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.bfloat16,
+            )
+            for i in range(kt)
+        ]
+        acc = None
+        for i, o in enumerate(full):
+            sl = o[i : i + tout]
+            acc = sl if acc is None else acc + sl
+        return acc[None]
+
+    timeit(
+        "E: per-tap full-length convs + shifted output adds",
+        jax.jit(partial(run, conv3d_as_2d_outshift)), x,
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -21,6 +21,25 @@ from slowfast_vos_tpu.ops.boxes import box_iou, clip_boxes, decode_boxes, encode
 from slowfast_vos_tpu.ops.nms import batched_nms_mask, top_k_after_nms
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder structurally identical to `nn.Dense` (kernel
+    [cin, features] lecun-normal + bias zeros) but returning the weights —
+    so `BoxHead` can run its classifier and regressor as ONE concatenated
+    matmul with the checkpoint tree of separate Dense layers."""
+
+    features: int
+    cin: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.cin, self.features)
+        )
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+    def __call__(self):
+        return self.kernel, self.bias
+
+
 class BoxHead(nn.Module):
     """TwoMLPHead + FastRCNNPredictor: 7x7x256 -> fc1024 -> fc1024 -> cls/reg."""
 
@@ -33,8 +52,14 @@ class BoxHead(nn.Module):
         x = pooled.reshape(pooled.shape[0], -1).astype(self.dtype)
         x = nn.relu(nn.Dense(self.representation, name="fc6", dtype=self.dtype)(x))
         x = nn.relu(nn.Dense(self.representation, name="fc7", dtype=self.dtype)(x))
-        cls = nn.Dense(self.num_classes, name="cls_score", dtype=self.dtype)(x)
-        reg = nn.Dense(self.num_classes * 4, name="bbox_pred", dtype=self.dtype)(x)
+        # cls (1024->2) and reg (1024->8) read the same representation; one
+        # cout-concatenated matmul (bit-identical per column, tree unchanged)
+        # replaces two sliver-of-a-tile dispatches over the [N, 1024] input.
+        ck, cb = _DenseParams(self.num_classes, self.representation, name="cls_score")()
+        rk, rb = _DenseParams(self.num_classes * 4, self.representation, name="bbox_pred")()
+        o = x @ jnp.concatenate([ck, rk], axis=-1).astype(self.dtype)
+        o = o + jnp.concatenate([cb, rb]).astype(self.dtype)
+        cls, reg = o[:, : self.num_classes], o[:, self.num_classes :]
         return cls.astype(jnp.float32), reg.astype(jnp.float32).reshape(-1, self.num_classes, 4)
 
 
