@@ -106,97 +106,6 @@ def boundary_f_measure(
     return 2 * precision * recall / (precision + recall)
 
 
-def jaccard_all_pairs(
-    gt: np.ndarray, res: np.ndarray, void: np.ndarray | None = None
-) -> np.ndarray:
-    """`jaccard` for ALL (object, proposal) pairs at once: [O, T, H, W] x
-    [P, T, H, W] -> [P, O, T].
-
-    Both stacks are DISJOINT id decompositions (DAVIS palette masks), so
-    every pairwise intersection count falls out of ONE per-frame bincount of
-    the joint (gt_id, res_id) label — O(T * H * W) total instead of the
-    official loop's O(O * P) full-frame reductions
-    (`davis2017/evaluation.py:46-66`). Unions come from the per-mask counts
-    via |a| + |b| - inter. Integer counts and the empty-union = 1 rule are
-    identical to `jaccard`."""
-    o, t = gt.shape[0], gt.shape[1]
-    p = res.shape[0]
-    # Disjoint bool stacks -> id rasters (0 = background).
-    gt_ids = np.zeros(gt.shape[1:], np.int32)
-    for k in range(o):
-        gt_ids[gt[k]] = k + 1
-    res_ids = np.zeros(res.shape[1:], np.int32)
-    for k in range(p):
-        res_ids[res[k]] = k + 1
-    if void is not None:
-        nv = ~void.astype(bool)
-        gt_ids *= nv
-        res_ids *= nv
-    inter = np.zeros((p + 1, o + 1, t), np.int64)
-    for i in range(t):
-        code = gt_ids[i].ravel() * (p + 1) + res_ids[i].ravel()
-        counts = np.bincount(code, minlength=(o + 1) * (p + 1))
-        inter[:, :, i] = counts.reshape(o + 1, p + 1).T
-    n_gt = inter.sum(axis=0)[1:]  # [O, T]
-    n_res = inter.sum(axis=1)[1:]  # [P, T]
-    ipairs = inter[1:, 1:]  # [P, O, T]
-    union = n_res[:, None, :] + n_gt[None, :, :] - ipairs
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        j = ipairs / union
-    return np.where(union == 0, 1.0, j)
-
-
-def boundary_precompute(
-    seg: np.ndarray, void: np.ndarray | None = None, bound_th: float = 0.008
-):
-    """Per-frame bit-packed boundary maps + dilations + counts for a
-    [T, H, W] mask stack — the pair-independent half of `boundary_f_measure`,
-    factored out so the unsupervised scorer computes it ONCE per unique mask
-    instead of once per (gt object, proposal) pair (the official per-pair
-    loop recomputes both sides' boundaries for all O x P pairs,
-    `davis2017/evaluation.py:46-66`). Returns (b_packed, dil_packed,
-    counts)."""
-    radius = bound_th if bound_th >= 1 else np.ceil(bound_th * np.linalg.norm(seg.shape[-2:]))
-    kernel = disk_kernel(radius)
-    t = seg.shape[0]
-    bs, dils = [], []
-    zero = None
-    for i in range(t):
-        m = seg[i].astype(bool)
-        if void is not None:
-            m = m & ~void[i].astype(bool)
-        bi = seg_to_boundary(m)
-        bp = np.packbits(bi, axis=-1)
-        bs.append(bp)
-        if not bp.any():  # absent object/proposal: dilation of nothing
-            if zero is None:
-                zero = np.zeros_like(bp)
-            dils.append(zero)
-        else:
-            # bool -> uint8 reinterpret (same bytes) instead of an astype copy
-            dils.append(np.packbits(cv2.dilate(bi.view(np.uint8), kernel), axis=-1))
-    b = np.stack(bs)
-    return b, np.stack(dils), np.bitwise_count(b).sum(axis=(-2, -1))
-
-
-def boundary_f_from_precomputed(gt_pre, fg_pre) -> np.ndarray:
-    """Boundary F per frame from two `boundary_precompute` results —
-    arithmetic identical to `boundary_f_measure` (integer-count precision/
-    recall, the same empty-boundary special cases)."""
-    gt_b, gt_dil, n_gt = gt_pre
-    fg_b, fg_dil, n_fg = fg_pre
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        precision = np.bitwise_count(fg_b & gt_dil).sum(axis=(-2, -1)) / n_fg
-        recall = np.bitwise_count(gt_b & fg_dil).sum(axis=(-2, -1)) / n_gt
-        f = 2 * precision * recall / (precision + recall)
-    f = np.where(np.isnan(f) | np.isinf(f), 0.0, f)  # p+r == 0 or empty side
-    f = np.where((n_fg == 0) & (n_gt == 0), 1.0, f)
-    f = np.where((n_fg == 0) ^ (n_gt == 0), 0.0, f)
-    return f
-
-
 def db_statistics(per_frame_values: np.ndarray):
     """(mean, recall@0.5, decay) over the frame axis — protocol statistics."""
     with warnings.catch_warnings():

@@ -18,19 +18,20 @@ by either framework score interchangeably.
 from __future__ import annotations
 
 import os
+import warnings
 from glob import glob
 
+import cv2
 import numpy as np
 from PIL import Image
 from scipy.optimize import linear_sum_assignment
 
 from slowfast_vos_tpu.eval.metrics import (
-    boundary_f_from_precomputed,
     boundary_f_measure,
-    boundary_precompute,
     db_statistics,
+    disk_kernel,
     jaccard,
-    jaccard_all_pairs,
+    seg_to_boundary,
 )
 
 
@@ -86,18 +87,24 @@ class DavisScorer:
             gt = raw[None] == ids[:, None, None, None]
         return gt, void, frame_ids
 
-    def _result_masks(self, res_path: str, seq: str, frame_ids, max_objects: int):
+    def _result_raw(self, res_path: str, seq: str, frame_ids):
+        """Raw proposal-id raster [T, H, W] uint8 (0 = background) + the
+        proposal count (= max id present in any frame, `results.py:31`).
+        The streaming unsupervised scorer consumes this directly — the
+        official [P, T, H, W] bool stack (566 MB at 20 proposals x val
+        scale) is never materialized."""
         first = np.array(Image.open(os.path.join(res_path, seq, f"{frame_ids[0]}.png")))
-        # uint8 end to end: the [P, T, H, W] broadcast compare below was 47%
-        # of scorer wall time when `masks` defaulted to float64 (8x the
-        # bytes); id values are <= 255 so the integer compare is exact.
         masks = np.zeros((len(frame_ids), *first.shape[:2]), np.uint8)
         for i, fid in enumerate(frame_ids):
             masks[i] = np.array(Image.open(os.path.join(res_path, seq, f"{fid}.png")))
         if self.year == "2016" and masks.max() == 255:
             masks //= 255
         num_objects = 1 if self.year == "2016" else int(masks.max())
-        ids = np.arange(1, max(num_objects, 1) + 1, dtype=np.uint8)
+        return masks, max(num_objects, 1)
+
+    def _result_masks(self, res_path: str, seq: str, frame_ids, max_objects: int):
+        masks, num_objects = self._result_raw(res_path, seq, frame_ids)
+        ids = np.arange(1, num_objects + 1, dtype=np.uint8)
         return masks[None] == ids[:, None, None, None]
 
     # -- scoring --------------------------------------------------------------
@@ -114,31 +121,92 @@ class DavisScorer:
         return j, f
 
     @staticmethod
-    def _score_unsupervised(gt, res, void, max_n_proposals=20):
-        n_obj, n_prop = gt.shape[0], res.shape[0]
+    def _score_unsupervised(gt, res_raw, n_prop, void, max_n_proposals=20):
+        """gt: [O, T, H, W] bool (disjoint); res_raw: [T, H, W] uint8
+        proposal-id raster (0 = background), n_prop = max id present.
+
+        The official per-pair loop recomputes boundaries/dilations and
+        full-frame boolean reductions for all O x P pairs over materialized
+        [P, T, H, W] stacks (`davis2017/evaluation.py:46-66`,
+        `results.py:23-35`). Here everything STREAMS per frame: J for ALL
+        pairs from one bincount of the joint id raster (the decompositions
+        are disjoint), boundaries+dilations once per present mask (absent
+        proposals skip both), per-pair boundary overlaps on bit-packed
+        bytes + popcounts. Integer counts — and therefore scores — are
+        identical to the per-pair formulation (oracle-tested to 1e-12
+        against the vendored reference scorer)."""
         assert n_prop <= max_n_proposals, "too many proposals"
-        if n_prop < n_obj:
-            res = np.concatenate(
-                [res, np.zeros((n_obj - n_prop, *res.shape[1:]), bool)]
+        n_obj, t = gt.shape[0], gt.shape[1]
+        # Ids beyond n_prop are never present == the official zero-mask pad
+        # when there are fewer proposals than objects.
+        n_eff = max(n_prop, n_obj)
+        radius = np.ceil(0.008 * np.linalg.norm(gt.shape[-2:]))
+        kernel = disk_kernel(int(radius))
+
+        inter = np.zeros((n_eff + 1, n_obj + 1, t), np.int64)
+        n_fg_b = np.zeros((n_eff, t), np.int64)
+        n_gt_b = np.zeros((n_obj, t), np.int64)
+        match_fg = np.zeros((n_eff, n_obj, t), np.int64)  # |fg_b & gt_dil|
+        match_gt = np.zeros((n_eff, n_obj, t), np.int64)  # |gt_b & fg_dil|
+
+        def prep(mask_bool):
+            """(packed boundary, packed dilation | None-if-empty)."""
+            b = seg_to_boundary(mask_bool)
+            bp = np.packbits(b, axis=-1)
+            if not bp.any():
+                return bp, None
+            return bp, np.packbits(cv2.dilate(b.view(np.uint8), kernel), axis=-1)
+
+        for i in range(t):
+            nv = None if void is None else ~void[i].astype(bool)
+            res_i = res_raw[i].astype(np.int32)
+            gt_ids = np.zeros(res_i.shape, np.int32)
+            for o in range(n_obj):
+                gt_ids[gt[o, i]] = o + 1
+            if nv is not None:
+                gt_ids *= nv
+                res_i *= nv
+            code = gt_ids.ravel() * (n_eff + 1) + res_i.ravel()
+            counts = np.bincount(code, minlength=(n_obj + 1) * (n_eff + 1)).reshape(
+                n_obj + 1, n_eff + 1
             )
-            n_prop = n_obj
-        t = gt.shape[1]
-        f = np.zeros((n_prop, n_obj, t))
-        # The official per-pair loop recomputes boundaries/dilations and
-        # full-frame boolean reductions for all O x P pairs
-        # (`davis2017/evaluation.py:46-66`). Here J for ALL pairs comes from
-        # one per-frame bincount of the joint id raster (the decompositions
-        # are disjoint — `jaccard_all_pairs`), and F's pair-independent
-        # boundary+dilation work is hoisted once per unique mask with the
-        # per-pair overlap counts on bit-packed bytes + popcounts. Integer
-        # counts — and therefore scores — are identical to the per-pair
-        # formulation (oracle-tested to 1e-12 vs the vendored scorer).
-        j = jaccard_all_pairs(gt, res, void)
-        gt_pre = [boundary_precompute(gt[o], void) for o in range(n_obj)]
-        res_pre = [boundary_precompute(res[p], void) for p in range(n_prop)]
-        for o in range(n_obj):
-            for p in range(n_prop):
-                f[p, o] = boundary_f_from_precomputed(gt_pre[o], res_pre[p])
+            inter[:, :, i] = counts.T
+
+            gt_pre = []
+            for o in range(n_obj):
+                m = gt[o, i] if nv is None else gt[o, i] & nv
+                gp, gdp = prep(m)
+                gt_pre.append((gp, gdp))
+                n_gt_b[o, i] = np.bitwise_count(gp).sum()
+            for p in range(n_eff):
+                if counts[:, p + 1].sum() == 0:  # absent proposal: all zero
+                    continue
+                fp, fdp = prep(res_i == p + 1)
+                nf = int(np.bitwise_count(fp).sum())
+                n_fg_b[p, i] = nf
+                for o in range(n_obj):
+                    gp, gdp = gt_pre[o]
+                    if nf and gdp is not None:
+                        match_fg[p, o, i] = np.bitwise_count(fp & gdp).sum()
+                    if n_gt_b[o, i] and fdp is not None:
+                        match_gt[p, o, i] = np.bitwise_count(gp & fdp).sum()
+
+        n_gt_px = inter.sum(axis=0)[1:]  # [O, T]
+        n_res_px = inter.sum(axis=1)[1:]  # [P, T]
+        ip = inter[1:, 1:]
+        union = n_res_px[:, None, :] + n_gt_px[None, :, :] - ip
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            j = np.where(union == 0, 1.0, ip / union)
+            precision = match_fg / n_fg_b[:, None, :]
+            recall = match_gt / n_gt_b[None, :, :]
+            f = 2 * precision * recall / (precision + recall)
+        f = np.where(np.isnan(f) | np.isinf(f), 0.0, f)
+        both_empty = (n_fg_b[:, None, :] == 0) & (n_gt_b[None, :, :] == 0)
+        one_empty = (n_fg_b[:, None, :] == 0) ^ (n_gt_b[None, :, :] == 0)
+        f = np.where(both_empty, 1.0, f)
+        f = np.where(one_empty, 0.0, f)
+
         combined = (j.mean(axis=2) + f.mean(axis=2)) / 2
         row, col = linear_sum_assignment(-combined)
         return j[row, col], f[row, col]
@@ -156,10 +224,11 @@ class DavisScorer:
                 gt = gt[:, 1:-1]
                 void = None if void is None else void[1:-1]
                 frame_ids = frame_ids[1:-1]
-            res = self._result_masks(res_path, seq, frame_ids, gt.shape[0])
             if self.task == "unsupervised":
-                j, f = self._score_unsupervised(gt, res, void)
+                res_raw, n_prop = self._result_raw(res_path, seq, frame_ids)
+                j, f = self._score_unsupervised(gt, res_raw, n_prop, void)
             else:
+                res = self._result_masks(res_path, seq, frame_ids, gt.shape[0])
                 # Protocol quirk kept: the reference scores semi-supervised
                 # WITHOUT void exclusion (`evaluation.py:97` passes None even
                 # when void masks exist) — matched for interchangeability.
