@@ -37,17 +37,19 @@ def jaccard(annotation: np.ndarray, segmentation: np.ndarray, void: np.ndarray |
 
 def seg_to_boundary(seg: np.ndarray) -> np.ndarray:
     """Binary 1-pixel-wide boundary map, offset half a pixel toward the origin
-    (David Martin's seg2bmap rule)."""
+    (David Martin's seg2bmap rule).
+
+    Incremental form of the shifted-copies formulation: the union of the
+    east/south/south-east membership differences, with the frame's last
+    row/column comparing only along itself and the corner always false —
+    algebraically identical to the original full-frame xors + overrides
+    (each border region receives exactly one contribution), at less than
+    half the temporaries."""
     seg = seg.astype(bool)
-    e = np.zeros_like(seg)
-    s = np.zeros_like(seg)
-    se = np.zeros_like(seg)
-    e[:, :-1] = seg[:, 1:]
-    s[:-1, :] = seg[1:, :]
-    se[:-1, :-1] = seg[1:, 1:]
-    b = (seg ^ e) | (seg ^ s) | (seg ^ se)
-    b[-1, :] = seg[-1, :] ^ e[-1, :]
-    b[:, -1] = seg[:, -1] ^ s[:, -1]
+    b = np.zeros_like(seg)
+    b[:, :-1] = seg[:, :-1] ^ seg[:, 1:]  # east (also Martin's last-row rule)
+    b[:-1, :] |= seg[:-1, :] ^ seg[1:, :]  # south (also last-column rule)
+    b[:-1, :-1] |= seg[:-1, :-1] ^ seg[1:, 1:]  # south-east
     b[-1, -1] = False
     return b
 

@@ -149,13 +149,29 @@ class DavisScorer:
         match_fg = np.zeros((n_eff, n_obj, t), np.int64)  # |fg_b & gt_dil|
         match_gt = np.zeros((n_eff, n_obj, t), np.int64)  # |gt_b & fg_dil|
 
+        r = int(radius)
+
         def prep(mask_bool):
-            """(packed boundary, packed dilation | None-if-empty)."""
+            """(packed boundary, packed dilation | None-if-empty). The disk
+            dilation runs on the boundary's bounding box + radius margin
+            only — exact, since dilation by a radius-r kernel cannot reach
+            farther, and cv2's dilate border (no contribution) matches the
+            all-zero surroundings — the full-frame 17x17 arbitrary-shape
+            dilate was the scorer's top cost after streaming."""
             b = seg_to_boundary(mask_bool)
-            bp = np.packbits(b, axis=-1)
-            if not bp.any():
-                return bp, None
-            return bp, np.packbits(cv2.dilate(b.view(np.uint8), kernel), axis=-1)
+            rows = b.any(axis=1)
+            if not rows.any():
+                return np.packbits(b, axis=-1), None
+            cols = b.any(axis=0)
+            h, w = b.shape
+            y0 = max(int(rows.argmax()) - r, 0)
+            y1 = min(h - int(rows[::-1].argmax()) + r, h)
+            x0 = max(int(cols.argmax()) - r, 0)
+            x1 = min(w - int(cols[::-1].argmax()) + r, w)
+            dil = np.zeros_like(b)
+            crop = np.ascontiguousarray(b[y0:y1, x0:x1]).view(np.uint8)
+            dil[y0:y1, x0:x1] = cv2.dilate(crop, kernel).view(bool)
+            return np.packbits(b, axis=-1), np.packbits(dil, axis=-1)
 
         for i in range(t):
             nv = None if void is None else ~void[i].astype(bool)
