@@ -61,6 +61,26 @@ def disk_kernel(radius: int) -> np.ndarray:
     return (x * x + y * y <= r * r).astype(np.uint8)
 
 
+def dilate_in_bbox(b: np.ndarray, kernel: np.ndarray, r: int) -> np.ndarray:
+    """Disk dilation confined to the boundary's bounding box + radius —
+    exact: a radius-r dilation cannot reach farther, and cv2's dilate border
+    contributes nothing, matching the all-zero surroundings. The full-frame
+    arbitrary-shape dilate was the scorer's top cost."""
+    rows = b.any(axis=1)
+    if not rows.any():
+        return np.zeros_like(b)
+    cols = b.any(axis=0)
+    h, w = b.shape
+    y0 = max(int(rows.argmax()) - r, 0)
+    y1 = min(h - int(rows[::-1].argmax()) + r, h)
+    x0 = max(int(cols.argmax()) - r, 0)
+    x1 = min(w - int(cols[::-1].argmax()) + r, w)
+    out = np.zeros_like(b)
+    crop = np.ascontiguousarray(b[y0:y1, x0:x1]).view(np.uint8)
+    out[y0:y1, x0:x1] = cv2.dilate(crop, kernel).view(bool)
+    return out
+
+
 def boundary_f_measure(
     annotation: np.ndarray,
     segmentation: np.ndarray,
@@ -90,8 +110,8 @@ def boundary_f_measure(
 
     fg_b = seg_to_boundary(fg)
     gt_b = seg_to_boundary(gt)
-    fg_dil = cv2.dilate(fg_b.astype(np.uint8), kernel).astype(bool)
-    gt_dil = cv2.dilate(gt_b.astype(np.uint8), kernel).astype(bool)
+    fg_dil = dilate_in_bbox(fg_b, kernel, int(radius))
+    gt_dil = dilate_in_bbox(gt_b, kernel, int(radius))
 
     n_fg = fg_b.sum()
     n_gt = gt_b.sum()

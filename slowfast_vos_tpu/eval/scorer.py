@@ -21,7 +21,6 @@ import os
 import warnings
 from glob import glob
 
-import cv2
 import numpy as np
 from PIL import Image
 from scipy.optimize import linear_sum_assignment
@@ -29,6 +28,7 @@ from scipy.optimize import linear_sum_assignment
 from slowfast_vos_tpu.eval.metrics import (
     boundary_f_measure,
     db_statistics,
+    dilate_in_bbox,
     disk_kernel,
     jaccard,
     seg_to_boundary,
@@ -152,25 +152,12 @@ class DavisScorer:
         r = int(radius)
 
         def prep(mask_bool):
-            """(packed boundary, packed dilation | None-if-empty). The disk
-            dilation runs on the boundary's bounding box + radius margin
-            only — exact, since dilation by a radius-r kernel cannot reach
-            farther, and cv2's dilate border (no contribution) matches the
-            all-zero surroundings — the full-frame 17x17 arbitrary-shape
-            dilate was the scorer's top cost after streaming."""
+            """(packed boundary, packed dilation | None-if-empty); the
+            dilation is bbox-confined (`dilate_in_bbox`)."""
             b = seg_to_boundary(mask_bool)
-            rows = b.any(axis=1)
-            if not rows.any():
+            if not b.any():
                 return np.packbits(b, axis=-1), None
-            cols = b.any(axis=0)
-            h, w = b.shape
-            y0 = max(int(rows.argmax()) - r, 0)
-            y1 = min(h - int(rows[::-1].argmax()) + r, h)
-            x0 = max(int(cols.argmax()) - r, 0)
-            x1 = min(w - int(cols[::-1].argmax()) + r, w)
-            dil = np.zeros_like(b)
-            crop = np.ascontiguousarray(b[y0:y1, x0:x1]).view(np.uint8)
-            dil[y0:y1, x0:x1] = cv2.dilate(crop, kernel).view(bool)
+            dil = dilate_in_bbox(b, kernel, r)
             return np.packbits(b, axis=-1), np.packbits(dil, axis=-1)
 
         for i in range(t):
