@@ -135,9 +135,32 @@ def make_infer_step():
     return run, block
 
 
+def make_backbone_step():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slowfast_vos_tpu.models.resnet_fpn import ResNet50FPN
+
+    model = ResNet50FPN()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(34, 768, 1344, 3)).astype(np.float32))
+    fn = jax.jit(lambda v, a: model.apply(v, a))
+    out = {}
+
+    def run(i):
+        out["o"] = fn(variables, x)
+
+    def block():
+        jax.block_until_ready(out["o"])
+
+    return run, block
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--mode", choices=("train", "infer"), default="train")
+    ap.add_argument("--mode", choices=("train", "infer", "backbone"), default="train")
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--log-dir", default=None)
@@ -145,7 +168,8 @@ def main():
 
     import jax
 
-    run, block = make_train_step() if args.mode == "train" else make_infer_step()
+    makers = {"train": make_train_step, "infer": make_infer_step, "backbone": make_backbone_step}
+    run, block = makers[args.mode]()
     run(0)  # compile
     block()
 
