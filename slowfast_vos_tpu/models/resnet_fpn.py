@@ -142,9 +142,20 @@ class FPN(nn.Module):
         prev = laterals[-1]
         outs[-1] = prev
         for i in range(len(laterals) - 2, -1, -1):
-            h, w = laterals[i].shape[-3:-1]
-            up = jnp.repeat(jnp.repeat(prev, 2, axis=-3), 2, axis=-2)[..., :h, :w, :]
-            prev = laterals[i] + up
+            lat = laterals[i]
+            h, w = lat.shape[-3:-1]
+            ph, pw = prev.shape[-3:-1]
+            if (h, w) == (2 * ph, 2 * pw):
+                # Nearest 2x upsample expressed as a broadcast INSIDE the add
+                # (reshape H/W into (h, 2)/(w, 2) pairs — a bitcast in the
+                # C-minor conv layout) instead of a materialized repeat: the
+                # repeat form cost ~5 ms/superchunk of standalone broadcast
+                # ops in the device trace. Same value pairing, bit-identical.
+                lat6 = lat.reshape(*lat.shape[:-3], ph, 2, pw, 2, lat.shape[-1])
+                prev = (lat6 + prev[..., :, None, :, None, :]).reshape(lat.shape)
+            else:
+                up = jnp.repeat(jnp.repeat(prev, 2, axis=-3), 2, axis=-2)[..., :h, :w, :]
+                prev = lat + up
             outs[i] = prev
         outs = [
             conv(self.out_channels, 3, name=f"layer_{i}", use_bias=True, dtype=self.dtype)(o)

@@ -49,17 +49,23 @@ def temporal_conv_apply(x, kernel, bias, dtype) -> jnp.ndarray:
     production shape, scripts/profile_enhance.py); the math is identical:
     out[t] = sum_i conv2d(x[t + i], w[i]).
 
-    x: [1, T, H, W, Cin], kernel: [kt, k, k, Cin, Cout] ->
-    [1, T - kt + 1, H, W, Cout]."""
+    The clip stays a plain 4-d [T, H, W, Cin] NHWC batch throughout — an
+    earlier [1, T, H, W, C] carry (a conv3d leftover) made XLA relayout
+    every stage boundary between a 5-d {4,1,3,2,0} and the convs' 4-d
+    {3,0,2,1} tiling (15.7 ms relu+transpose fusions per superchunk in the
+    device trace; scripts/profile_trace.py --mode infer).
+
+    x: [T, H, W, Cin], kernel: [kt, k, k, Cin, Cout] ->
+    [T - kt + 1, H, W, Cout]."""
     kt, k = kernel.shape[0], kernel.shape[1]
     xc = x.astype(dtype)
     kc = kernel.astype(dtype)
-    tout = x.shape[1] - kt + 1
+    tout = x.shape[0] - kt + 1
     p = k // 2
     acc = None
     for i in range(kt):
         o = jax.lax.conv_general_dilated(
-            xc[0, i : i + tout],
+            xc[i : i + tout],
             kc[i],
             (1, 1),
             [(p, p), (p, p)],
@@ -68,7 +74,7 @@ def temporal_conv_apply(x, kernel, bias, dtype) -> jnp.ndarray:
         acc = o if acc is None else acc + o
     if bias is not None:
         acc = acc + bias.astype(dtype)
-    return acc[None]
+    return acc
 
 
 class TemporalConv(nn.Module):
@@ -120,7 +126,7 @@ class TemporalConv(nn.Module):
         fold_scale: jnp.ndarray | None = None,
         fold_shift: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
-        """x: [1, T, H, W, Cin] -> [1, T - kt + 1, H, W, features]."""
+        """x: [T, H, W, Cin] -> [T - kt + 1, H, W, features]."""
         kernel, bias = self.folded(fold_scale, fold_shift)
         return temporal_conv_apply(x, kernel, bias, self.dtype)
 
@@ -246,8 +252,8 @@ class SlowFastTemporal(nn.Module):
             padded = jnp.pad(feats, ((left, right), (0, 0), (0, 0), (0, 0)))
         d = f // 2 - s // 2
 
-        fast_x = padded[None]  # [1, T+F-1, H, W, C]
-        slow_x = padded[None, d : d + t + s - 1]
+        fast_x = padded  # [T+F-1, H, W, C]
+        slow_x = padded[d : d + t + s - 1]
 
         # Stage 1. When s == f the two pathways' stage-1 convs consume the
         # IDENTICAL input with the same temporal kernel (d == 0, ks1 == kf1),
@@ -303,7 +309,7 @@ class SlowFastTemporal(nn.Module):
         slow_x = self._conv_bn(slow_x, 224, ks3, "slow3", train)
         fast_x = self._conv_bn(fast_x, 32, kf3, "fast3", train)
 
-        out = jnp.concatenate([slow_x, fast_x], axis=-1)[0]  # [T, H, W, 256]
+        out = jnp.concatenate([slow_x, fast_x], axis=-1)  # [T, H, W, 256]
         # Keep the compute dtype (bf16 in production): at DAVIS resolution the
         # enhanced pyramid is GBs per superchunk in f32.
         return out.astype(self.dtype)

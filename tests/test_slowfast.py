@@ -121,7 +121,7 @@ def test_stage1_merged_conv_equals_separate_pathway_convs():
     from slowfast_vos_tpu.models.slowfast import temporal_conv_apply
 
     rng = np.random.default_rng(3)
-    x = jnp.asarray(rng.normal(size=(1, 5, 6, 6, 16)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(5, 6, 6, 16)).astype(np.float32))
     ws = jnp.asarray(rng.normal(size=(2, 3, 3, 16, 12)).astype(np.float32))
     wf = jnp.asarray(rng.normal(size=(2, 3, 3, 16, 4)).astype(np.float32))
     bs = jnp.asarray(rng.normal(size=(12,)).astype(np.float32))
