@@ -112,6 +112,20 @@ def main():
     except Exception as e:
         print("pallas failed:", type(e).__name__, str(e)[:200])
 
+    from slowfast_vos_tpu.ops.roi_align_pallas import multiscale_roi_align_pallas_clip
+
+    try:
+        out = timeit(
+            "pallas whole-clip kernel",
+            jax.jit(lambda f0, f1, f2, f3, r: multiscale_roi_align_pallas_clip(
+                [f0, f1, f2, f3], r, SCALES, output_size=7
+            ).sum()),
+            *feats, rois,
+        )
+        del out
+    except Exception as e:
+        print("pallas clip failed:", type(e).__name__, str(e)[:200])
+
 
 
 if __name__ == "__main__":

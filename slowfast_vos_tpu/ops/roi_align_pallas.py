@@ -193,28 +193,31 @@ def _kernel(
                 out_ref[slot] = jnp.transpose(out, (1, 0, 2)).astype(out_ref.dtype)
 
 
-def multiscale_roi_align_pallas(
-    feats: Sequence[jnp.ndarray],
-    rois: jnp.ndarray,
-    spatial_scales: Sequence[float],
-    *,
-    output_size: int = 7,
-    sampling_ratio: int = 2,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Same API/semantics as `multiscale_roi_align` (torchvision aligned=False)."""
-    n = rois.shape[0]
-    c = feats[0].shape[-1]
-    levels = fpn_level_assignment(rois, num_levels=len(feats))
+def _rup(v: int) -> int:
+    """Padded level extent: multiple of 8 and >= PATCH, so that the maximum
+    patch origin (extent - PATCH) is itself 8-aligned and an aligned origin
+    always covers the level's right/bottom edge."""
+    return -(-max(v, PATCH) // 8) * 8
 
-    hs = jnp.asarray([f.shape[0] for f in feats], jnp.float32)[levels]
-    ws = jnp.asarray([f.shape[1] for f in feats], jnp.float32)[levels]
-    # Padded level extents: multiples of 8 and >= PATCH, so that the maximum
-    # patch origin (extent - PATCH) is itself 8-aligned and an aligned origin
-    # always covers the level's right/bottom edge.
-    rup = lambda v: -(-max(v, PATCH) // 8) * 8
-    hs_pad = jnp.asarray([rup(f.shape[0]) for f in feats], jnp.float32)[levels]
-    ws_pad = jnp.asarray([rup(f.shape[1]) for f in feats], jnp.float32)[levels]
+
+def _roi_prep(
+    rois: jnp.ndarray,
+    level_hws: Sequence[tuple[int, int]],
+    spatial_scales: Sequence[float],
+    output_size: int,
+    sampling_ratio: int,
+    dtype,
+):
+    """Vectorized per-roi prep shared by the per-frame and whole-clip entry
+    points: FPN level assignment, 8-aligned patch origin, DMA size tier, and
+    the two interpolation matrices. rois: [M, 4] -> (iparams [M, 4] int32
+    (level, py, px, tier), a_y, a_x [M, out_rows, PATCH])."""
+    levels = fpn_level_assignment(rois, num_levels=len(level_hws))
+
+    hs = jnp.asarray([h for h, _ in level_hws], jnp.float32)[levels]
+    ws = jnp.asarray([w for _, w in level_hws], jnp.float32)[levels]
+    hs_pad = jnp.asarray([_rup(h) for h, _ in level_hws], jnp.float32)[levels]
+    ws_pad = jnp.asarray([_rup(w) for _, w in level_hws], jnp.float32)[levels]
     scales = jnp.asarray(spatial_scales, jnp.float32)[levels]
 
     b = rois.astype(jnp.float32) * scales[:, None]
@@ -255,7 +258,6 @@ def multiscale_roi_align_pallas(
     # XLA op (vs per-roi inside the kernel, where the tiny-vector VPU work
     # serialized); out rows padded to the sublane multiple, cast to the
     # feature dtype so the kernel matmul is a single native MXU pass.
-    dtype = feats[0].dtype
     out_rows = -(-output_size // 8) * 8
     build = jax.vmap(
         lambda st, bs, ext, org: _build_interp(
@@ -265,6 +267,26 @@ def multiscale_roi_align_pallas(
     pad_rows = ((0, 0), (0, out_rows - output_size), (0, 0))
     a_y = jnp.pad(build(y1, bin_h, hs, py.astype(jnp.float32)), pad_rows).astype(dtype)
     a_x = jnp.pad(build(x1, bin_w, ws, px.astype(jnp.float32)), pad_rows).astype(dtype)
+    return iparams, a_y, a_x
+
+
+def multiscale_roi_align_pallas(
+    feats: Sequence[jnp.ndarray],
+    rois: jnp.ndarray,
+    spatial_scales: Sequence[float],
+    *,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Same API/semantics as `multiscale_roi_align` (torchvision aligned=False)."""
+    n = rois.shape[0]
+    c = feats[0].shape[-1]
+    dtype = feats[0].dtype
+    out_rows = -(-output_size // 8) * 8
+    iparams, a_y, a_x = _roi_prep(
+        rois, [f.shape[:2] for f in feats], spatial_scales, output_size, sampling_ratio, dtype
+    )
 
     # Pad the roi axis to a ROIS_PER_PROGRAM multiple (pad rois are level-0
     # origin-0 no-ops whose outputs are sliced off).
@@ -279,7 +301,7 @@ def multiscale_roi_align_pallas(
     padded_feats = [
         jnp.pad(
             f,
-            ((0, rup(f.shape[0]) - f.shape[0]), (0, rup(f.shape[1]) - f.shape[1]), (0, 0)),
+            ((0, _rup(f.shape[0]) - f.shape[0]), (0, _rup(f.shape[1]) - f.shape[1]), (0, 0)),
         )
         for f in feats
     ]
@@ -313,3 +335,129 @@ def multiscale_roi_align_pallas(
         interpret=interpret,
     )(iparams, a_y, a_x, *padded_feats)
     return out[:n]
+
+
+def multiscale_roi_align_pallas_clip(
+    feats: Sequence[jnp.ndarray],
+    rois: jnp.ndarray,
+    spatial_scales: Sequence[float],
+    *,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    interpret: bool = False,
+    rois_per_call: int = 1024,
+) -> jnp.ndarray:
+    """Whole-clip multiscale RoIAlign: feats are 4 pyramid levels
+    [T, H_l, W_l, C]; rois [T, N, 4] in canvas coordinates. Returns
+    [T, N, out, out, C], bit-identical per frame to
+    `multiscale_roi_align_pallas(feats[:, t], rois[t], ...)`.
+
+    Runs the UNMODIFIED per-frame `_kernel`: each level is padded to aligned
+    extents and its frame axis flattened into rows (a free reshape in the
+    row-major layout), and each roi's row origin carries its frame offset —
+    so per-frame feature slicing disappears and ONE prep pass serves the
+    whole clip. The per-roi prep runs once vectorized over T*N rois; the
+    kernel is invoked in `rois_per_call` chunks because the scalar-prefetch
+    iparams live in SMEM (~64 KB observed capacity on v5e: [8000, 5] int32
+    failed to compile; 2048 x 4 = 32 KB fits with headroom) and the chunk's
+    interp matrices stay whole-block VMEM-resident (3.7 MB at 2048 rois).
+
+    MEASURED SLOWER THAN THE PER-FRAME lax.map FORM — NOT USED IN
+    PRODUCTION. At 32x1000 rois on v5e: wall 98.9 vs 85.0 ms; device-trace
+    totals 73.5 vs ~66 ms, with the per-1024-roi kernel call itself at
+    2.15 vs 1.74 ms. Root cause (visible in the HLO buffer annotations):
+    when the per-frame form slices one frame's pyramid out of the clip
+    (~44 MB bf16), XLA stages the sliced level arrays in VMEM (S(1)), so
+    the kernel's patch DMAs are VMEM->VMEM; this form's frame-flattened
+    levels are GB-scale and must stay HBM-resident, so every patch DMA
+    pays HBM latency. The ~4 ms/clip the per-frame form spends on
+    dynamic-slice copies buys ~13 ms of faster DMAs. Two earlier variants
+    measured worse still: (a) a kernel indexing 4-d [T, H, W, C] operands
+    with a dynamic frame index in the DMA, and (b) packing the per-roi
+    scalars into one int32 to fit more rois per call — each added ~16 ms
+    (~2 us/program): the kernel is scalar-core bound at DMA-issue, so any
+    extra scalar work lands on the critical path. Kept (with the interpret
+    parity test) as the measured record of the whole-clip design point."""
+    t, n = rois.shape[:2]
+    m = t * n
+    c = feats[0].shape[-1]
+    dtype = feats[0].dtype
+    out_rows = -(-output_size // 8) * 8
+
+    iparams, a_y, a_x = _roi_prep(
+        rois.reshape(m, 4),
+        [f.shape[1:3] for f in feats],
+        spatial_scales,
+        output_size,
+        sampling_ratio,
+        dtype,
+    )
+    # Fold each roi's frame into its row origin against the FLATTENED
+    # (frame-into-rows) level arrays the kernel receives. The fold keeps
+    # iparams' (level, py, px, tier) column order — `_kernel` reads it
+    # unchanged.
+    hp = jnp.asarray([_rup(f.shape[1]) for f in feats], jnp.int32)[iparams[:, 0]]
+    frame = jnp.repeat(jnp.arange(t, dtype=jnp.int32), n)
+    iparams = iparams.at[:, 1].add(frame * hp)
+
+    b = ROIS_PER_PROGRAM
+    k = min(-(-rois_per_call // b) * b, -(-m // b) * b)
+    m_pad = -(-m // k) * k
+    if m_pad != m:
+        iparams = jnp.pad(iparams, ((0, m_pad - m), (0, 0)))
+        a_y = jnp.pad(a_y, ((0, m_pad - m), (0, 0), (0, 0)))
+        a_x = jnp.pad(a_x, ((0, m_pad - m), (0, 0), (0, 0)))
+
+    # Pad each level to aligned extents, then flatten frames into rows: the
+    # row-major layout makes the [T, Hp, Wp, C] -> [T*Hp, Wp, C] reshape
+    # free, and the per-roi row origins above point into the flat array.
+    padded_feats = [
+        jnp.pad(
+            f,
+            (
+                (0, 0),
+                (0, _rup(f.shape[1]) - f.shape[1]),
+                (0, _rup(f.shape[2]) - f.shape[2]),
+                (0, 0),
+            ),
+        ).reshape(t * _rup(f.shape[1]), _rup(f.shape[2]), c)
+        for f in feats
+    ]
+
+    def call(ip, ay, ax):
+        mk = ip.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(mk // b,),
+            in_specs=[
+                pl.BlockSpec((mk, out_rows, PATCH), lambda r, *_: (0, 0, 0)),
+                pl.BlockSpec((mk, out_rows, PATCH), lambda r, *_: (0, 0, 0)),
+            ]
+            + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+            out_specs=pl.BlockSpec(
+                (b, output_size, output_size, c),
+                lambda r, *_: (r, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((b, PATCH, PATCH, c), dtype),
+                pltpu.SemaphoreType.DMA((b,)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_kernel, out_size=output_size),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((mk, output_size, output_size, c), dtype),
+            interpret=interpret,
+        )(ip, ay, ax, *padded_feats)
+
+    if m_pad <= k:
+        out = call(iparams, a_y, a_x)
+    else:
+        out = jnp.concatenate(
+            [
+                call(iparams[i : i + k], a_y[i : i + k], a_x[i : i + k])
+                for i in range(0, m_pad, k)
+            ]
+        )
+    return out[:m].reshape(t, n, output_size, output_size, c)

@@ -45,3 +45,32 @@ def test_pallas_matches_gather(out_size):
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_pallas_clip_matches_per_frame():
+    """The whole-clip kernel (one pallas_call over [T, N] rois with a frame
+    column) must equal per-frame gather pooling exactly — frames must not
+    bleed into each other, and the N-not-multiple-of-4 padding must slice
+    off cleanly."""
+    from slowfast_vos_tpu.ops.roi_align_pallas import multiscale_roi_align_pallas_clip
+
+    rng = np.random.default_rng(1)
+    t, n = 3, 29  # n deliberately not a ROIS_PER_PROGRAM multiple
+    feats = [
+        jnp.asarray(rng.normal(size=(t, 192 // s, 336 // s, 8)).astype(np.float32))
+        for s in (4, 8, 16, 32)
+    ]
+    scales = (1 / 4, 1 / 8, 1 / 16, 1 / 32)
+    xy = rng.uniform(-10, 300, (t, n, 2))
+    wh = rng.uniform(4, 150, (t, n, 2))
+    rois = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
+
+    got = np.asarray(
+        multiscale_roi_align_pallas_clip(feats, rois, scales, output_size=7, interpret=True)
+    )
+    assert got.shape == (t, n, 7, 7, 8)
+    for f in range(t):
+        want = np.asarray(
+            multiscale_roi_align([fl[f] for fl in feats], rois[f], scales, output_size=7)
+        )
+        np.testing.assert_allclose(got[f], want, atol=2e-4, err_msg=f"frame {f}")
