@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from slowfast_vos_tpu.models.config import DetectionConfig
+from slowfast_vos_tpu.models.layers import Conv1x1MM
 from slowfast_vos_tpu.models.matching import match_to_gt, sample_balanced, BELOW_LOW
 from slowfast_vos_tpu.models.rpn import smooth_l1
 from slowfast_vos_tpu.ops.boxes import box_iou, clip_boxes, decode_boxes, encode_boxes, remove_small_boxes_mask
@@ -108,7 +109,7 @@ class MaskHead(nn.Module):
         # compute path (ops/deconv.py); param layout matches nn.ConvTranspose
         # so checkpoint conversion is unaffected.
         x = nn.relu(_DeconvMM(self.channels, name="conv5_mask", dtype=self.dtype)(x))
-        x = nn.Conv(self.num_classes, (1, 1), name="mask_fcn_logits", dtype=self.dtype)(x)
+        x = Conv1x1MM(self.num_classes, use_bias=True, name="mask_fcn_logits", dtype=self.dtype)(x)
         return x.astype(jnp.float32)  # [N, 28, 28, num_classes]
 
 

@@ -25,7 +25,7 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from slowfast_vos_tpu.models.layers import FrozenBatchNorm, conv
+from slowfast_vos_tpu.models.layers import Conv1x1MM, FrozenBatchNorm, conv
 
 
 class Bottleneck(nn.Module):
@@ -135,7 +135,7 @@ class FPN(nn.Module):
     @nn.compact
     def __call__(self, inputs):
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), use_bias=True, name=f"inner_{i}", dtype=self.dtype)(c)
+            Conv1x1MM(self.out_channels, use_bias=True, name=f"inner_{i}", dtype=self.dtype)(c)
             for i, c in enumerate(inputs)
         ]
         outs = [None] * len(laterals)

@@ -71,11 +71,13 @@ class RPNHead(nn.Module):
             # selection/ordering is bit-identical while the full-anchor
             # flatten relayout moves half the bytes (~5 ms/superchunk of f32
             # copies on the [T,193536,4] P2 deltas, device trace copy.388).
+            # dot_general, not a 1x1 conv: see layers.Conv1x1MM (the conv
+            # dispatch measured ~5x slower than the equivalent matmul).
+            tc = t.astype(self.dtype)
             o = (
-                jax.lax.conv_general_dilated(
-                    t.astype(self.dtype), wk, (1, 1), [(0, 0), (0, 0)],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )
+                jax.lax.dot_general(
+                    tc.reshape(-1, tc.shape[-1]), wk[0, 0], (((1,), (0,)), ((), ()))
+                ).reshape(*tc.shape[:-1], wk.shape[-1])
                 + wb
             )
             logits.append(o[..., :a])
