@@ -147,6 +147,35 @@ def main():
         jax.jit(partial(run, conv3d_as_2d_outshift)), x,
     )
 
+    def conv3d_as_2d_coutcat(v, w):
+        # Variant F: ONE 2D conv over the full T frames with the kt tap
+        # kernels concatenated along cout, then sum the shifted per-tap
+        # output channel slices: out[t] = sum_i y[t+i, ..., i*cout:(i+1)*cout].
+        # Reads the (GB-scale) input ONCE instead of kt times and dispatches
+        # kt*cout MXU lanes in one pass; costs writing/reading kt*cout output
+        # channels at full T. Bit-identical math to C/E (same per-tap conv2d,
+        # same f32-accumulated add order).
+        kt = w.shape[0]
+        cout = w.shape[-1]
+        tout = v.shape[1] - kt + 1
+        pad = [(1, 1), (1, 1)] if w.shape[1] == 3 else [(0, 0), (0, 0)]
+        wcat = jnp.concatenate([w[i] for i in range(kt)], axis=-1)  # [k,k,cin,kt*cout]
+        y = jax.lax.conv_general_dilated(
+            v[0], wcat, (1, 1), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.bfloat16,
+        )
+        acc = None
+        for i in range(kt):
+            sl = y[i : i + tout, :, :, i * cout : (i + 1) * cout]
+            acc = sl if acc is None else acc + sl
+        return acc[None]
+
+    timeit(
+        "F: one cout-concat conv over full T + shifted slice adds",
+        jax.jit(partial(run, conv3d_as_2d_coutcat)), x,
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -19,6 +19,7 @@ from PIL import Image
 from slowfast_vos_tpu.data.davis import DavisIndex, load_sequence, save_palette_mask
 from slowfast_vos_tpu.eval.scorer import DavisScorer, summarize
 from slowfast_vos_tpu.parallel.distributed import get_rank, get_world_size, host_barrier
+from slowfast_vos_tpu.utils.prefetch import prefetch
 
 
 def union_mask(det: dict, threshold: float = 0.5) -> np.ndarray:
@@ -67,20 +68,25 @@ def extract_masks(
     sharded = shard_by_process and get_world_size() > 1
     if sharded:
         infos = infos[get_rank() :: get_world_size()]
-    for info in infos:
-        seq_dir = os.path.join(out_dir, info.name)
-        os.makedirs(seq_dir, exist_ok=True)
-        seq = load_sequence(info, max_gt=pipe.cfg.max_gt)
-        dets = pipe.infer_sequence(variables, seq["images"])  # uint8 straight in
-        for i, det in enumerate(dets):
-            mask = union_mask(det, threshold)
-            path = os.path.join(seq_dir, f"{i:05d}.png")
-            if year == "2016":
-                Image.fromarray((mask * 255).astype(np.uint8)).save(path)
-            else:
-                save_palette_mask(mask.astype(np.uint8), path)
-        if progress is not None:
-            progress(info.name)
+    # Decode the next sequence's JPEGs on a background thread while the
+    # current one runs inference (utils/prefetch.py); depth 1 bounds host
+    # memory to ~2 decoded sequences.
+    with prefetch(
+        ((info, load_sequence(info, max_gt=pipe.cfg.max_gt)) for info in infos), depth=1
+    ) as decoded:
+        for info, seq in decoded:
+            seq_dir = os.path.join(out_dir, info.name)
+            os.makedirs(seq_dir, exist_ok=True)
+            dets = pipe.infer_sequence(variables, seq["images"])  # uint8 straight in
+            for i, det in enumerate(dets):
+                mask = union_mask(det, threshold)
+                path = os.path.join(seq_dir, f"{i:05d}.png")
+                if year == "2016":
+                    Image.fromarray((mask * 255).astype(np.uint8)).save(path)
+                else:
+                    save_palette_mask(mask.astype(np.uint8), path)
+            if progress is not None:
+                progress(info.name)
     if sharded:
         # Coordination-service barrier (not a Gloo device collective, whose
         # 30 s context-init rendezvous real per-sequence skew exceeds).

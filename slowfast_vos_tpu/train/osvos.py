@@ -28,6 +28,7 @@ from slowfast_vos_tpu.eval.glue import davis_evaluation
 from slowfast_vos_tpu.models.pipeline import Pipeline
 from slowfast_vos_tpu.train.train_step import Trainer
 from slowfast_vos_tpu.train.trainer import jax_batch
+from slowfast_vos_tpu.utils.prefetch import prefetch
 
 
 @dataclasses.dataclass
@@ -107,9 +108,13 @@ def train_osvos_sequence(
     results = {-1: evaluate()}
     key = jax.random.PRNGKey(seed)
     for epoch in range(cfg.epochs):
-        for i in range(len(dataset)):
-            key, sub = jax.random.split(key)
-            state, _metrics = trainer.step(state, sub, jax_batch(dataset[i]))
+        # Augment item i+1 (cv2 warps on the host) while the device steps on
+        # item i; one producer thread keeps the dataset's shared RNG draw
+        # order — and so every augmented item — identical to the serial loop.
+        with prefetch((dataset[i] for i in range(len(dataset))), depth=2) as items:
+            for batch in items:
+                key, sub = jax.random.split(key)
+                state, _metrics = trainer.step(state, sub, jax_batch(batch))
         results[epoch] = evaluate()
     return results
 

@@ -22,6 +22,7 @@ import numpy as np
 
 from slowfast_vos_tpu.data.davis import DavisIndex, load_sequence
 from slowfast_vos_tpu.data.frames import DavisFrameDataset, frame_batches
+from slowfast_vos_tpu.utils.prefetch import prefetch
 from slowfast_vos_tpu.models.pipeline import Pipeline, build_pipeline, init_variables
 from slowfast_vos_tpu.train.train_step import Trainer
 from slowfast_vos_tpu.train.trainer import jax_batch
@@ -118,21 +119,25 @@ def train_maskrcnn(
     for epoch in range(epochs):
         epoch_loss = 0.0
         n = 0
-        for batch in frame_batches(dataset, batch_size, seed=seed + epoch):
-            key, sub = jax.random.split(key)
-            tr = trainer_for(tuple(batch["images"].shape[1:3]))
-            state, metrics = tr.step(state, sub, jax_batch(batch))
-            loss = float(metrics["loss"])
-            if not np.isfinite(loss):
-                raise FloatingPointError(
-                    f"Loss is {loss}, stopping training (non-finite loss abort)"
-                )
-            epoch_loss += loss
-            logger.scalar("pretrain/loss", loss, step)
-            step += 1
-            n += 1
-            if max_steps_per_epoch and n >= max_steps_per_epoch:
-                break
+        # Background decode/pack of the next batches (utils/prefetch.py) —
+        # the num_workers>0 overlap of the reference's vendored script
+        # (`code/maskrcnn/train.py:73-77`); batch order is unchanged.
+        with prefetch(frame_batches(dataset, batch_size, seed=seed + epoch), depth=2) as bs:
+            for batch in bs:
+                key, sub = jax.random.split(key)
+                tr = trainer_for(tuple(batch["images"].shape[1:3]))
+                state, metrics = tr.step(state, sub, jax_batch(batch))
+                loss = float(metrics["loss"])
+                if not np.isfinite(loss):
+                    raise FloatingPointError(
+                        f"Loss is {loss}, stopping training (non-finite loss abort)"
+                    )
+                epoch_loss += loss
+                logger.scalar("pretrain/loss", loss, step)
+                step += 1
+                n += 1
+                if max_steps_per_epoch and n >= max_steps_per_epoch:
+                    break
         history.append({"epoch": epoch, "loss": epoch_loss / max(n, 1)})
         save_checkpoint(os.path.join(output_dir, "maskrcnn_model"), state, meta={"epoch": epoch})
     logger.close()
@@ -152,10 +157,12 @@ def extract_rpn_proposals(
     `predict_boxes` workload (`engine.py:195-236`)."""
     index = DavisIndex(davis_root, subset, year=year)
     out = {}
-    for info in index:
-        seq = load_sequence(info, max_gt=pipe.cfg.max_gt)
-        _feats, proposals, pvalid = pipe.compute_sequence_features(variables, seq["images"])
-        out[f"{info.name}/proposals"] = np.asarray(proposals)
-        out[f"{info.name}/valid"] = np.asarray(pvalid)
+    with prefetch(
+        ((info, load_sequence(info, max_gt=pipe.cfg.max_gt)) for info in index), depth=1
+    ) as decoded:
+        for info, seq in decoded:
+            _feats, proposals, pvalid = pipe.compute_sequence_features(variables, seq["images"])
+            out[f"{info.name}/proposals"] = np.asarray(proposals)
+            out[f"{info.name}/valid"] = np.asarray(pvalid)
     np.savez_compressed(output_path, **out)
     return output_path

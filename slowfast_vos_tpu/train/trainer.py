@@ -27,6 +27,7 @@ from slowfast_vos_tpu.parallel.sharded import (
 from slowfast_vos_tpu.train.train_step import Trainer, TrainState
 from slowfast_vos_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 from slowfast_vos_tpu.utils.metrics import MetricsLogger
+from slowfast_vos_tpu.utils.prefetch import prefetch
 
 
 def jax_batch(batch: dict):
@@ -127,51 +128,56 @@ def train_unsupervised(
     global_step = 0
     for epoch in range(start_epoch, epochs):
         epoch_loss = 0.0
+        # Decode/pack the next windows on a background thread while the
+        # device steps (utils/prefetch.py) — the DataLoader-worker overlap
+        # the reference's own drivers forfeit (`code/train.py:66-67`).
+        # Order (and so the training trajectory) is unchanged.
         if not data_parallel:
-            for batch in epoch_windows():
-                key, sub = jax.random.split(key)
-                state, metrics = trainer.step(state, sub, jax_batch(batch))
-                loss = float(metrics["loss"])
-                if not np.isfinite(loss):
-                    # Vendored-engine behavior: abort rather than training on
-                    # (engine.py:48-51).
-                    raise FloatingPointError(f"Loss is {loss}, stopping training")
-                epoch_loss += loss
-                logger.scalar("train/batch_loss", loss, global_step)
-                global_step += 1
+            with prefetch(epoch_windows(), depth=2) as batches:
+                for batch in batches:
+                    key, sub = jax.random.split(key)
+                    state, metrics = trainer.step(state, sub, jax_batch(batch))
+                    loss = float(metrics["loss"])
+                    if not np.isfinite(loss):
+                        # Vendored-engine behavior: abort rather than training
+                        # on (engine.py:48-51).
+                        raise FloatingPointError(f"Loss is {loss}, stopping training")
+                    epoch_loss += loss
+                    logger.scalar("train/batch_loss", loss, global_step)
+                    global_step += 1
         else:
             group: list = []
             fill: list = []  # earliest windows of the epoch, for wrap-fill
             pending = True
-            gen = epoch_windows()
-            while pending:
-                for batch in gen:
-                    group.append(batch)
-                    if len(fill) < n_dev - 1:
-                        fill.append(batch)
-                    if len(group) == n_dev:
-                        break
-                else:
-                    pending = False
-                    if not group:
-                        break
-                n_real = len(group)
-                if n_real < n_dev:
-                    # Trailing partial group: wrap-fill with the epoch's
-                    # first windows (DistributedSampler's even-padding).
-                    for i in range(n_dev - n_real):
-                        group.append(fill[i % len(fill)])
-                local = group[local_batch_slice(n_dev)] if jax.process_count() > 1 else group
-                sharded = shard_windows(stack_windows(local), mesh)
-                key, sub = jax.random.split(key)
-                state, metrics = dp_step(state, sub, sharded)
-                loss = float(metrics["loss"])  # pmean over the group
-                if not np.isfinite(loss):
-                    raise FloatingPointError(f"Loss is {loss}, stopping training")
-                epoch_loss += loss * n_real  # sum-over-windows, like serial
-                logger.scalar("train/batch_loss", loss, global_step)
-                global_step += 1
-                group = []
+            with prefetch(epoch_windows(), depth=n_dev + 1) as gen:
+                while pending:
+                    for batch in gen:
+                        group.append(batch)
+                        if len(fill) < n_dev - 1:
+                            fill.append(batch)
+                        if len(group) == n_dev:
+                            break
+                    else:
+                        pending = False
+                        if not group:
+                            break
+                    n_real = len(group)
+                    if n_real < n_dev:
+                        # Trailing partial group: wrap-fill with the epoch's
+                        # first windows (DistributedSampler's even-padding).
+                        for i in range(n_dev - n_real):
+                            group.append(fill[i % len(fill)])
+                    local = group[local_batch_slice(n_dev)] if jax.process_count() > 1 else group
+                    sharded = shard_windows(stack_windows(local), mesh)
+                    key, sub = jax.random.split(key)
+                    state, metrics = dp_step(state, sub, sharded)
+                    loss = float(metrics["loss"])  # pmean over the group
+                    if not np.isfinite(loss):
+                        raise FloatingPointError(f"Loss is {loss}, stopping training")
+                    epoch_loss += loss * n_real  # sum-over-windows, like serial
+                    logger.scalar("train/batch_loss", loss, global_step)
+                    global_step += 1
+                    group = []
 
         logger.scalar("train/epoch_loss", epoch_loss, epoch)
         ev = run_eval()
