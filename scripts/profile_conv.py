@@ -29,14 +29,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 V5E_BF16_TFLOPS = 197.0
 
 
-def main():
+def main(iters: int = 5):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     rng = np.random.default_rng(0)
 
-    def timeit(name, fn, *a, flops=None, n=5):
+    def timeit(name, fn, *a, flops=None, n=iters):
         _ = float(jnp.sum(fn(*a)))
         best = float("inf")
         for _ in range(n):
@@ -159,4 +159,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    # Parse BEFORE importing jax (inside main): `--help` must never touch the
+    # device — a profiling CLI that seizes the TPU to print usage is a footgun.
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    parser.add_argument(
+        "-n", "--iters", type=int, default=5, help="timed iterations per variant"
+    )
+    args = parser.parse_args()
+    main(iters=args.iters)

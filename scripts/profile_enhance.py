@@ -153,8 +153,9 @@ def main():
         # output channel slices: out[t] = sum_i y[t+i, ..., i*cout:(i+1)*cout].
         # Reads the (GB-scale) input ONCE instead of kt times and dispatches
         # kt*cout MXU lanes in one pass; costs writing/reading kt*cout output
-        # channels at full T. Bit-identical math to C/E (same per-tap conv2d,
-        # same f32-accumulated add order).
+        # channels at full T. Bit-identical math to C/E: same per-tap conv2d
+        # (conv-internal f32 accumulation), cross-tap adds in bf16 in the
+        # same order as C/E.
         kt = w.shape[0]
         cout = w.shape[-1]
         tout = v.shape[1] - kt + 1

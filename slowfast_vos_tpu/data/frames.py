@@ -24,6 +24,7 @@ import numpy as np
 import os
 from glob import glob
 
+from slowfast_vos_tpu.data.augment import RandomFlip
 from slowfast_vos_tpu.data.davis import decode_frame_annotation
 from slowfast_vos_tpu.data.grouping import group_by_aspect_ratio
 from PIL import Image
@@ -136,6 +137,19 @@ def _assemble(items, batch_size, canvas_hw=None):
     }
 
 
+def _maybe_flip(item, sampler: RandomFlip, rng):
+    """Per-frame horizontal flip, boxes+masks co-transformed — the reference's
+    `RandomHorizontalFlip(0.5)` train transform in the Mask R-CNN fine-tune
+    (`code/maskrcnn/maskrcnn_src.py:207-212`, wired via `get_transform(True)`
+    at :222-233). Invalid gt slots are re-zeroed so padding rows stay inert."""
+    t = sampler.sample(rng)
+    if not t.flipped:
+        return item
+    img, masks, boxes, _ = t.apply(item["image"], item["masks"], item["boxes"])
+    boxes = np.where(item["gt_valid"][:, None], boxes, 0.0).astype(boxes.dtype)
+    return {"image": img, "boxes": boxes, "masks": masks, "gt_valid": item["gt_valid"]}
+
+
 def frame_batches(
     dataset: DavisFrameDataset,
     batch_size: int = 2,
@@ -143,6 +157,7 @@ def frame_batches(
     shuffle=True,
     seed=0,
     size_divisor: int = 32,
+    train_flip: bool = False,
 ):
     """Yield Trainer-compatible batches of independent frames (fast=1 =>
     window == the frames themselves, no halo).
@@ -150,14 +165,25 @@ def frame_batches(
     Uniform-resolution datasets keep the original shuffled-sequential order;
     mixed-resolution datasets batch per aspect bucket on a shared padded
     canvas (see module docstring). Tail batches smaller than `batch_size`
-    are dropped in both paths (static shapes)."""
+    are dropped in both paths (static shapes). `train_flip=True` samples a
+    p=0.5 horizontal flip per frame (the reference's only train-time
+    augmentation on this path); flip draws come from a dedicated RNG in yield
+    order, so `utils.prefetch` (which preserves iteration order) leaves the
+    augmentation stream deterministic."""
+    flip = RandomFlip(0.5) if train_flip else None
+    flip_rng = np.random.default_rng(seed + 0x5F11) if train_flip else None
+
+    def fetch(i):
+        item = dataset[int(i)]
+        return _maybe_flip(item, flip, flip_rng) if flip is not None else item
+
     sizes = dataset.sizes() if hasattr(dataset, "sizes") else None
     if sizes is None or len(set(sizes)) <= 1:
         order = np.arange(len(dataset))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
         for start in range(0, len(order) - batch_size + 1, batch_size):
-            items = [dataset[int(i)] for i in order[start : start + batch_size]]
+            items = [fetch(i) for i in order[start : start + batch_size]]
             yield _assemble(items, batch_size)
         return
 
@@ -184,5 +210,5 @@ def frame_batches(
     if shuffle:
         rng.shuffle(planned)
     for canvas, batch_idxs in planned:
-        items = [dataset[int(i)] for i in batch_idxs]
+        items = [fetch(i) for i in batch_idxs]
         yield _assemble(items, batch_size, canvas)

@@ -76,9 +76,13 @@ def train_maskrcnn(
         lr, steps_per_epoch, warmup_iters=min(1000, steps_per_epoch - 1) or 1
     )
     def make_trainer(p):
+        # trainable_backbone_layers=3 = torchvision's pretrained-detector
+        # default: conv1/bn1/layer1 frozen (`maskrcnn_src.py:190`, optimizer
+        # filtered on requires_grad at :253-255).
         return Trainer(
             p, lr=schedule, weight_decay=weight_decay,
             n_center=batch_size, train_backbone=True,
+            trainable_backbone_layers=3,
         )
 
     trainer = make_trainer(pipe)
@@ -122,7 +126,11 @@ def train_maskrcnn(
         # Background decode/pack of the next batches (utils/prefetch.py) —
         # the num_workers>0 overlap of the reference's vendored script
         # (`code/maskrcnn/train.py:73-77`); batch order is unchanged.
-        with prefetch(frame_batches(dataset, batch_size, seed=seed + epoch), depth=2) as bs:
+        # train_flip: the reference's RandomHorizontalFlip(0.5) train
+        # transform (`maskrcnn_src.py:207-212`).
+        with prefetch(
+            frame_batches(dataset, batch_size, seed=seed + epoch, train_flip=True), depth=2
+        ) as bs:
             for batch in bs:
                 key, sub = jax.random.split(key)
                 tr = trainer_for(tuple(batch["images"].shape[1:3]))

@@ -57,6 +57,73 @@ def make_optimizer(lr: float = 1e-3, momentum: float = 0.9, weight_decay: float 
     )
 
 
+# FrozenBatchNorm's parameter set (models/layers.py:24-27). It is the ONLY
+# module in the model whose param dict is exactly these four names (flax
+# nn.BatchNorm keeps mean/var in batch_stats, not params), so the key set
+# identifies FrozenBN nodes structurally.
+_FROZEN_BN_KEYS = frozenset({"scale", "bias", "mean", "var"})
+
+
+def _is_frozen_bn(node: dict) -> bool:
+    return set(node.keys()) == _FROZEN_BN_KEYS and not any(
+        isinstance(v, dict) for v in node.values()
+    )
+
+
+def _body_layers_to_train(trainable_backbone_layers: int) -> list[str]:
+    """torchvision `_resnet_fpn_extractor` freezing: the trainable stem/stage
+    prefixes for a given `trainable_backbone_layers` (default 3 for a
+    pretrained detector -> conv1, bn1 and layer1 frozen; the reference's
+    fine-tune relies on this via `maskrcnn_resnet50_fpn(pretrained=True)`,
+    `code/maskrcnn/maskrcnn_src.py:190`, and its optimizer filters on
+    `requires_grad`, :253-255)."""
+    order = ["layer4", "layer3", "layer2", "layer1", "conv1"]
+    to_train = order[:trainable_backbone_layers]
+    if trainable_backbone_layers == 5:
+        to_train.append("bn1")
+    return to_train
+
+
+def trainable_labels(trainable: dict, trainable_backbone_layers: int | None = None):
+    """'train'/'freeze' label tree (same structure as `trainable`) for
+    optax.multi_transform.
+
+    Two freeze sources, both matching torch semantics the reference depends on:
+
+    * FrozenBatchNorm leaves (scale/bias/mean/var) are 'freeze' EVERYWHERE:
+      in torchvision FrozenBatchNorm2d these tensors are *buffers* —
+      `backbone.parameters()` never yields them, so even freeze='none'
+      (`code/osvos/osvos_model.py:25-27`) never updates or weight-decays them.
+    * With `trainable_backbone_layers` set, backbone body children outside the
+      torchvision trainable set are 'freeze' (FPN stays trainable, as in
+      `_resnet_fpn_extractor`).
+    """
+
+    def walk(node, freeze):
+        if isinstance(node, dict):
+            freeze = freeze or _is_frozen_bn(node)
+            return {k: walk(v, freeze) for k, v in node.items()}
+        return "freeze" if freeze else "train"
+
+    out = {}
+    for top, sub in trainable.items():
+        if top == "backbone" and trainable_backbone_layers is not None:
+            to_train = _body_layers_to_train(trainable_backbone_layers)
+            bb = {}
+            for part, tree in sub.items():
+                if part == "body":
+                    bb[part] = {
+                        name: walk(t, not any(name.startswith(p) for p in to_train))
+                        for name, t in tree.items()
+                    }
+                else:
+                    bb[part] = walk(tree, False)
+            out[top] = bb
+        else:
+            out[top] = walk(sub, False)
+    return out
+
+
 class Trainer:
     """Builds the jitted train step around a Pipeline.
 
@@ -82,6 +149,7 @@ class Trainer:
         train_slow_fast: bool = True,
         train_heads: bool = True,
         train_backbone: bool = False,
+        trainable_backbone_layers: int | None = None,
         accumulate: int = 1,
     ):
         """`accumulate > 1` steps the optimizer every k calls (optax
@@ -105,7 +173,16 @@ class Trainer:
             keys += ["backbone", "rpn"]
         self.trainable_keys = tuple(keys)
         self.backbone_trainable = train_backbone
-        tx = make_optimizer(lr, momentum, weight_decay)
+        tbl = trainable_backbone_layers if train_backbone else None
+        # Leaf-level freeze partition: `set_to_zero` makes the masked leaves'
+        # updates exact zeros, so FrozenBN statistics (and, in pretrain mode,
+        # conv1/layer1) stay bit-identical across steps — never momentum-
+        # updated, never weight-decayed. `optax.masked` would pass the raw
+        # gradient through for masked-out leaves, which is why it isn't used.
+        tx = optax.multi_transform(
+            {"train": make_optimizer(lr, momentum, weight_decay), "freeze": optax.set_to_zero()},
+            lambda params: trainable_labels(params, tbl),
+        )
         self.tx = optax.MultiSteps(tx, accumulate) if accumulate > 1 else tx
         self._step = jax.jit(self._step_impl)
 

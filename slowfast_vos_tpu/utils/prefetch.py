@@ -19,8 +19,13 @@ Design constraints honored:
   consumer thread so jit dispatch is never re-entered concurrently.
 * Exceptions raised by the iterator propagate to the consumer at the point
   of `next()`, not into a dead thread.
-* `close()` (also `__exit__`/GC) unblocks and joins the producer even when
-  the consumer abandons iteration early, so no thread leaks across epochs.
+* `close()` (also `__exit__`) unblocks and joins the producer even when the
+  consumer abandons iteration early, so no thread leaks across epochs. The
+  producer is a module-level function holding no reference to the
+  PrefetchIterator, so an abandoned iterator stays garbage-collectible and
+  `__del__` signals the producer to exit as a best-effort backstop.
+* The producer checks the stop flag BEFORE advancing the source iterator, so
+  `close()` never triggers (or waits on) one more decode than was consumed.
 """
 from __future__ import annotations
 
@@ -33,6 +38,33 @@ T = TypeVar("T")
 _DONE = object()
 
 
+def _produce(it: Iterator, q: queue.Queue, stop: threading.Event) -> None:
+    """Producer loop. Module-level on purpose: a bound method would make the
+    thread keep the PrefetchIterator alive, defeating the GC backstop."""
+
+    def put(payload) -> bool:
+        # Blocking put that aborts when the consumer closed the iterator.
+        while not stop.is_set():
+            try:
+                q.put(payload, timeout=0.05)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    try:
+        while not stop.is_set():
+            try:
+                item = next(it)
+            except StopIteration:
+                put((_DONE, None))
+                return
+            if not put((item, None)):
+                return
+    except BaseException as exc:  # propagate to the consumer
+        put((_DONE, exc))
+
+
 class PrefetchIterator(Iterator[T]):
     """Iterate `iterable` on a background thread, `depth` items ahead."""
 
@@ -43,28 +75,9 @@ class PrefetchIterator(Iterator[T]):
         self._stop = threading.Event()
         self._finished = False
         self._thread = threading.Thread(
-            target=self._produce, args=(iter(iterable),), daemon=True
+            target=_produce, args=(iter(iterable), self._q, self._stop), daemon=True
         )
         self._thread.start()
-
-    def _produce(self, it: Iterator[T]) -> None:
-        try:
-            for item in it:
-                if not self._put((item, None)):
-                    return
-            self._put((_DONE, None))
-        except BaseException as exc:  # propagate to the consumer
-            self._put((_DONE, exc))
-
-    def _put(self, payload) -> bool:
-        """Blocking put that aborts when the consumer closed the iterator."""
-        while not self._stop.is_set():
-            try:
-                self._q.put(payload, timeout=0.05)
-                return True
-            except queue.Full:
-                continue
-        return False
 
     def __iter__(self) -> "PrefetchIterator[T]":
         return self
@@ -98,7 +111,11 @@ class PrefetchIterator(Iterator[T]):
     def __exit__(self, *exc_info) -> None:
         self.close()
 
-    def __del__(self):  # best-effort backstop; explicit close() preferred
+    def __del__(self):
+        # Best-effort backstop (explicit close() preferred): signal the
+        # producer so it exits within one put timeout. Reachable because the
+        # producer thread holds (it, q, stop), never `self`. No join here —
+        # __del__ may run on an arbitrary thread during interpreter teardown.
         try:
             self._stop.set()
         except Exception:

@@ -71,7 +71,10 @@ def test_actually_overlaps():
     for _ in prefetch(gen(), depth=2):
         time.sleep(d)
     wall = time.perf_counter() - t0
-    assert wall < 2 * n * d * 0.85  # serial would be 2*n*d
+    # Serial would be 2*n*d; perfect overlap ~n*d. 1.5x leaves headroom for
+    # thread-scheduling jitter on a loaded host (this suite shares the box
+    # with TPU benchmark runs) while still proving overlap happened.
+    assert wall < 1.5 * n * d
 
 
 def test_stateful_rng_draw_order_matches_serial():
@@ -90,6 +93,53 @@ def test_stateful_rng_draw_order_matches_serial():
     ds = DS()
     fetched = list(prefetch((ds[i] for i in range(50)), depth=4))
     assert fetched == serial
+
+
+def test_close_does_not_advance_source_iterator():
+    """close() must not cost one more decode: the producer checks the stop
+    flag BEFORE advancing the source, so an early exit (e.g. the
+    max_steps_per_epoch break in train/pretrain.py) never blocks on a full
+    item production."""
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    it = prefetch(gen(), depth=1)
+    assert next(it) == 0
+    # Let the producer reach its steady state: queue full, blocked in put.
+    time.sleep(0.1)
+    before = len(produced)
+    it.close()
+    time.sleep(0.1)
+    assert len(produced) == before  # no extra pull after close
+    assert before <= 3
+
+
+def test_abandoned_iterator_is_garbage_collected():
+    """The producer thread must not keep the iterator alive: its target is a
+    module-level function, so dropping the last reference collects the
+    PrefetchIterator and the __del__ backstop stops the producer."""
+    import gc
+    import weakref
+
+    def gen():
+        i = 0
+        while True:
+            yield i
+            i += 1
+
+    it = prefetch(gen(), depth=1)
+    assert next(it) == 0
+    thread = it._thread
+    ref = weakref.ref(it)
+    del it
+    gc.collect()
+    assert ref() is None, "producer thread kept the iterator alive"
+    thread.join(timeout=2.0)
+    assert not thread.is_alive()
 
 
 def test_depth_validation():

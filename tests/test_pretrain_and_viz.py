@@ -66,16 +66,28 @@ def test_frame_dataset_splits(tmp_path):
 
 def test_maskrcnn_train_updates_backbone(root, tiny):
     pipe, variables = tiny
-    bb_before = np.asarray(
-        jax.tree_util.tree_leaves(variables["params"]["backbone"])[0]
-    ).copy()
+    body_before = jax.tree.map(
+        lambda x: np.asarray(x).copy(), variables["params"]["backbone"]["body"]
+    )
     state, history = train_maskrcnn(
         pipe, davis_root=root, output_dir="/tmp/mrcnn_test_out",
         epochs=1, max_steps_per_epoch=2, variables=variables,
     )
     assert np.isfinite(history[0]["loss"])
-    bb_after = np.asarray(jax.tree_util.tree_leaves(state.params["backbone"])[0])
-    assert not np.allclose(bb_before, bb_after)  # backbone trains here
+    body_after = state.params["backbone"]["body"]
+    # torchvision trainable_backbone_layers=3: layer2..4 train, while conv1 /
+    # bn1 / layer1 (and every FrozenBN buffer) stay bit-identical
+    # (`maskrcnn_src.py:190,253-255`).
+    assert not np.array_equal(
+        body_before["layer2_0"]["conv1"]["kernel"],
+        np.asarray(body_after["layer2_0"]["conv1"]["kernel"]),
+    )
+    for frozen_key in ("conv1", "bn1", "layer1_0", "layer1_1", "layer1_2"):
+        for b, a in zip(
+            jax.tree_util.tree_leaves(body_before[frozen_key]),
+            jax.tree_util.tree_leaves(body_after[frozen_key]),
+        ):
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
     assert os.path.exists("/tmp/mrcnn_test_out/maskrcnn_model")
 
 
@@ -125,6 +137,59 @@ def mixed_root(tmp_path_factory):
         r, num_sequences=2, frames=5, hw=[(48, 96), (96, 48)], num_objects=1
     )
     return r
+
+
+def test_frame_batches_train_flip(root):
+    """train_flip=True samples the reference's RandomHorizontalFlip(0.5)
+    (`maskrcnn_src.py:207-212`): ~half the yielded frames are mirrored with
+    boxes+masks co-transformed, and the stream is deterministic (and
+    prefetch-stable, since utils.prefetch preserves iteration order)."""
+    from slowfast_vos_tpu.utils.prefetch import prefetch
+
+    ds = DavisFrameDataset(root, "train", max_gt=3)
+    n = len(ds)
+    assert n == 10
+    originals = [ds[i] for i in range(n)]
+
+    def frames_of(batches):
+        return [
+            {k: b[k][j] for k in ("images", "boxes", "masks", "gt_valid")}
+            for b in batches
+            for j in range(b["images"].shape[0])
+        ]
+
+    # Run several epochs' worth of streams to get a stable flip-rate count.
+    flips = total = 0
+    for seed in range(6):
+        got = frames_of(list(frame_batches(ds, 2, shuffle=False, seed=seed, train_flip=True)))
+        for i, fr in enumerate(got):
+            orig = originals[i]
+            total += 1
+            if np.array_equal(fr["images"], orig["image"]):
+                np.testing.assert_array_equal(fr["boxes"], orig["boxes"])
+                continue
+            flips += 1
+            np.testing.assert_array_equal(fr["images"], orig["image"][:, ::-1])
+            np.testing.assert_array_equal(fr["masks"], orig["masks"][:, :, ::-1])
+            w = orig["image"].shape[1]
+            for g in range(3):
+                if not orig["gt_valid"][g]:
+                    np.testing.assert_array_equal(fr["boxes"][g], 0.0)
+                    continue
+                x1, y1, x2, y2 = orig["boxes"][g]
+                np.testing.assert_allclose(fr["boxes"][g], [w - x2, y1, w - x1, y2])
+    assert 0.25 * total < flips < 0.75 * total, (flips, total)
+
+    # Deterministic per seed, and identical through the prefetch wrapper.
+    a = frames_of(list(frame_batches(ds, 2, seed=3, train_flip=True)))
+    b = frames_of(list(frame_batches(ds, 2, seed=3, train_flip=True)))
+    with prefetch(frame_batches(ds, 2, seed=3, train_flip=True), depth=2) as pf:
+        c = frames_of(list(pf))
+    for x, y, z in zip(a, b, c):
+        np.testing.assert_array_equal(x["images"], y["images"])
+        np.testing.assert_array_equal(x["images"], z["images"])
+        np.testing.assert_array_equal(x["boxes"], y["boxes"])
+        np.testing.assert_array_equal(x["boxes"], z["boxes"])
 
 
 def test_mixed_resolution_grouped_batches(mixed_root):
