@@ -73,7 +73,7 @@ def main():
             best = min(best, time.perf_counter() - t0)
         print(f"{name:52s} {best*1e3:8.1f} ms")
 
-    timeit("A: current transform (jax.image.resize + pad)", tr)
+    timeit("A: current transform (jax.image.resize + pad)", tr, imgs)
 
     hlo, hhi, hwl, hwh = bilinear_taps(480, rh, ch - rh)
     wlo, whi, wwl, wwh = bilinear_taps(854, rw, cw - rw)

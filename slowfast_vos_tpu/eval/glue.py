@@ -35,6 +35,20 @@ def union_mask(det: dict, threshold: float = 0.5) -> np.ndarray:
     return masks.any(axis=0)
 
 
+def _write_sequence_masks(out_dir, name, dets, year, threshold, progress):
+    seq_dir = os.path.join(out_dir, name)
+    os.makedirs(seq_dir, exist_ok=True)
+    for i, det in enumerate(dets):
+        mask = union_mask(det, threshold)
+        path = os.path.join(seq_dir, f"{i:05d}.png")
+        if year == "2016":
+            Image.fromarray((mask * 255).astype(np.uint8)).save(path)
+        else:
+            save_palette_mask(mask.astype(np.uint8), path)
+    if progress is not None:
+        progress(name)
+
+
 def extract_masks(
     pipe,
     variables,
@@ -47,6 +61,7 @@ def extract_masks(
     threshold: float = 0.5,
     progress=None,
     shard_by_process: bool = True,
+    device_parallel: bool | None = None,
 ):
     """Run inference and write per-frame union masks as PNGs.
 
@@ -62,31 +77,58 @@ def extract_masks(
     (`shard_by_process=True`, the analogue of the reference's
     DistributedSampler over images, `code/maskrcnn/train.py:73-74`); each
     process writes its shard of the shared tree, then all processes
-    barrier so the tree is complete before anyone scores it."""
+    barrier so the tree is complete before anyone scores it.
+
+    Within one process, `device_parallel` additionally maps this process's
+    sequences onto the LOCAL devices — groups of N sequences stream
+    superchunks in lockstep as one shard_mapped SPMD program
+    (`parallel/dp_infer.py`), bit-identical to the serial loop. Default
+    (None): auto-on when >1 local device is visible on a TPU backend;
+    virtual CPU "devices" share the same host cores, so the serial path
+    stays the CPU default (tests opt in with device_parallel=True)."""
     index = DavisIndex(davis_root, subset, year=year, sequences=sequences)
     infos = list(index)
     sharded = shard_by_process and get_world_size() > 1
     if sharded:
         infos = infos[get_rank() :: get_world_size()]
-    # Decode the next sequence's JPEGs on a background thread while the
-    # current one runs inference (utils/prefetch.py); depth 1 bounds host
-    # memory to ~2 decoded sequences.
-    with prefetch(
-        ((info, load_sequence(info, max_gt=pipe.cfg.max_gt)) for info in infos), depth=1
-    ) as decoded:
-        for info, seq in decoded:
-            seq_dir = os.path.join(out_dir, info.name)
-            os.makedirs(seq_dir, exist_ok=True)
-            dets = pipe.infer_sequence(variables, seq["images"])  # uint8 straight in
-            for i, det in enumerate(dets):
-                mask = union_mask(det, threshold)
-                path = os.path.join(seq_dir, f"{i:05d}.png")
-                if year == "2016":
-                    Image.fromarray((mask * 255).astype(np.uint8)).save(path)
-                else:
-                    save_palette_mask(mask.astype(np.uint8), path)
-            if progress is not None:
-                progress(info.name)
+
+    import jax
+
+    from slowfast_vos_tpu.parallel.dp_infer import DeviceParallelInference, infer_mesh
+
+    if device_parallel is None:
+        device_parallel = jax.default_backend() in ("tpu", "axon")
+    # infer_mesh() is None with a single local device: graceful serial fallback.
+    mesh = infer_mesh() if device_parallel else None
+
+    if mesh is not None:
+        dp = DeviceParallelInference(pipe, mesh)
+        n = dp.n
+        # Decode one group ahead: the producer decodes group g+1's JPEGs
+        # while group g runs inference.
+        groups = (infos[s : s + n] for s in range(0, len(infos), n))
+        with prefetch(
+            (
+                [(info, load_sequence(info, max_gt=pipe.cfg.max_gt)) for info in grp]
+                for grp in groups
+            ),
+            depth=1,
+        ) as decoded_groups:
+            for grp in decoded_groups:
+                results = dp.infer_group(variables, [seq["images"] for _, seq in grp])
+                for (info, _), dets in zip(grp, results):
+                    _write_sequence_masks(out_dir, info.name, dets, year, threshold, progress)
+    else:
+        # Serial device path. Decode the next sequence's JPEGs on a background
+        # thread while the current one runs inference (utils/prefetch.py);
+        # depth 1 bounds host memory to ~3 decoded sequences (consumer-held +
+        # queued + in flight inside the producer).
+        with prefetch(
+            ((info, load_sequence(info, max_gt=pipe.cfg.max_gt)) for info in infos), depth=1
+        ) as decoded:
+            for info, seq in decoded:
+                dets = pipe.infer_sequence(variables, seq["images"])  # uint8 straight in
+                _write_sequence_masks(out_dir, info.name, dets, year, threshold, progress)
     if sharded:
         # Coordination-service barrier (not a Gloo device collective, whose
         # 30 s context-init rendezvous real per-sequence skew exceeds).

@@ -6,6 +6,10 @@ from slowfast_vos_tpu.parallel.distributed import (  # noqa: F401
     local_batch_slice,
     save_on_master,
 )
+from slowfast_vos_tpu.parallel.dp_infer import (  # noqa: F401
+    DeviceParallelInference,
+    infer_mesh,
+)
 from slowfast_vos_tpu.parallel.mesh import make_mesh  # noqa: F401
 from slowfast_vos_tpu.parallel.sharded import (  # noqa: F401
     make_sharded_train_step,

@@ -119,9 +119,131 @@ def train_osvos_sequence(
     return results
 
 
+def train_osvos_sequences_lockstep(
+    pipe: Pipeline,
+    variables: dict,
+    *,
+    davis_root: str,
+    sequence_names: list[str],
+    results_root: str,
+    cfg: ExperimentConfig | None = None,
+    items_per_epoch: int = 200,
+    seed: int = 63,
+    eval_year: str = "2016",
+    mesh=None,
+) -> dict:
+    """Device-parallel OSVOS: up to n_devices per-sequence fine-tunes advance
+    in lockstep, one per local device (`parallel/lockstep.py`) — the
+    reference runs these serially on one GPU (`run_osvos_for_all_seq.py`).
+
+    Per-member semantics are the serial `train_osvos_sequence`: same seed-63
+    per-sequence augmentation stream, same shared train key, same per-epoch
+    semi-supervised eval + scoring. Member results are EXACTLY invariant to
+    group composition (no cross-member collectives) and agree with a serial
+    run to ~1e-2 relative J&F — the shard_map and serial lowerings of the
+    bf16 train step fuse differently, the same ~1% grad drift bound as the
+    DP trainer (tests/test_osvos_lockstep.py, tests/test_dp_drivers.py).
+    A trailing group smaller than the mesh wrap-fills with duplicates of
+    member 0, whose outputs are dropped.
+
+    Returns {sequence_name: {epoch: {jfmean, jmean, fmean, eval_time}}}.
+    """
+    import time
+
+    import numpy as np
+
+    from slowfast_vos_tpu.data.davis import load_sequence
+    from slowfast_vos_tpu.eval.glue import _write_sequence_masks
+    from slowfast_vos_tpu.eval.scorer import DavisScorer, summarize
+    from slowfast_vos_tpu.parallel.dp_infer import DeviceParallelInference, infer_mesh
+    from slowfast_vos_tpu.parallel.lockstep import (
+        make_lockstep_train_step,
+        stack_batches,
+        stack_replicate,
+    )
+
+    cfg = cfg or ExperimentConfig()
+    mesh = mesh or infer_mesh()
+    assert mesh is not None, "lockstep OSVOS needs >1 local device; use train_osvos_sequence"
+    n = mesh.devices.size
+    real = list(sequence_names)
+    assert 1 <= len(real) <= n, (len(real), n)
+    names = real + [real[0]] * (n - len(real))
+
+    infos = {
+        name: DavisIndex(davis_root, "val", year=eval_year, sequences=name).sequences[0]
+        for name in set(names)
+    }
+    datasets = [
+        OsvosFirstFrameDataset(
+            infos[name], pipe.sf.fast, scale=cfg.scale,
+            items_per_epoch=items_per_epoch, max_gt=pipe.cfg.max_gt, seed=seed,
+        )
+        for name in names
+    ]
+    trainer = Trainer(
+        pipe, lr=cfg.lr, n_center=1, accumulate=2, **_freeze_flags(cfg.freeze)
+    )
+    state = stack_replicate(trainer.init_state(variables), n, mesh)
+    step = make_lockstep_train_step(trainer, mesh)
+    dp_eval = DeviceParallelInference(pipe, mesh, stacked_variables=True)
+    eval_images = [np.asarray(load_sequence(infos[nm], max_gt=pipe.cfg.max_gt)["images"]) for nm in real]
+
+    def evaluate():
+        t0 = time.time()
+        eval_vars = {
+            "params": {**state.params, **state.frozen},
+            "batch_stats": state.batch_stats,
+        }
+        dets_per_member = dp_eval.infer_group(eval_vars, eval_images)
+        out = {}
+        for k, name in enumerate(real):
+            model_name = f"osvos_{pipe.sf.slow}-{pipe.sf.fast}_{name}"
+            out_dir = os.path.join(results_root, "semi-supervised", model_name)
+            _write_sequence_masks(out_dir, name, dets_per_member[k], eval_year, 0.5, None)
+            # Scoring protocol == davis_evaluation: always the unsupervised
+            # evaluator, like the reference (`davis_evaluate.py:49`).
+            metrics = DavisScorer(
+                davis_root, task="unsupervised", gt_set="val",
+                sequences=name, year=eval_year,
+            ).evaluate(out_dir)
+            summary = summarize(metrics)
+            first_j = next(iter(metrics["J"]["M_per_object"].values()))
+            first_f = next(iter(metrics["F"]["M_per_object"].values()))
+            out[name] = {
+                "jfmean": summary["J&F-Mean"],
+                "jmean": first_j,
+                "fmean": first_f,
+                "eval_time": time.time() - t0,
+            }
+        return out
+
+    results = {name: {} for name in real}
+    for name, r in evaluate().items():
+        results[name][-1] = r
+    key = jax.random.PRNGKey(seed)
+    for epoch in range(cfg.epochs):
+        # Augment item i+1 for all members (host cv2 work) while the device
+        # steps on item i; the single producer preserves each dataset's RNG
+        # draw order, so every member's stream matches its serial run.
+        with prefetch(
+            (
+                stack_batches([ds[i] for ds in datasets])
+                for i in range(items_per_epoch)
+            ),
+            depth=2,
+        ) as stacked_items:
+            for batch in stacked_items:
+                key, sub = jax.random.split(key)
+                state, _metrics = step(state, sub, batch)
+        for name, r in evaluate().items():
+            results[name][epoch] = r
+    return results
+
+
 def run_osvos_for_all_sequences(
     pipe, variables, *, davis_root, results_root, output_json, cfg=None,
-    shard_by_process: bool = True, **kw
+    shard_by_process: bool = True, device_parallel: bool | None = None, **kw
 ):
     """Full-val OSVOS run with incremental JSON dump after each sequence.
 
@@ -131,10 +253,19 @@ def run_osvos_for_all_sequences(
     `<output_json>.rank<r>` (crash loses at most one sequence, like the
     reference `run_osvos_for_all_seq.py:20-22`); at the end the shards are
     all-gathered and the master writes the merged `output_json`. Every
-    process returns the full merged results."""
+    process returns the full merged results.
+
+    Within one process, `device_parallel` (default: auto-on for >1 local
+    TPU device, like eval) additionally runs this process's sequences in
+    lockstep groups of n_local_devices — one independent fine-tune per chip
+    (`train_osvos_sequences_lockstep`); a crash then loses at most one
+    GROUP of sequences."""
+    import jax as _jax
+
     from slowfast_vos_tpu.parallel.distributed import (
         get_rank, get_world_size, save_on_master,
     )
+    from slowfast_vos_tpu.parallel.dp_infer import infer_mesh
 
     index = DavisIndex(davis_root, "val", year="2016")
     infos = list(index)
@@ -142,17 +273,35 @@ def run_osvos_for_all_sequences(
     my_infos = infos[get_rank()::world] if world > 1 else infos
     my_json = f"{output_json}.rank{get_rank()}" if world > 1 else output_json
 
+    if device_parallel is None:
+        device_parallel = _jax.default_backend() in ("tpu", "axon")
+    mesh = infer_mesh() if device_parallel else None
+
+    def dump(results):
+        with open(my_json, "w") as f:
+            json.dump({k: {str(e): v for e, v in r.items()} for k, r in results.items()}, f)
+
     # The per-sequence eval inside train_osvos_sequence must NOT shard
     # again: this driver already owns the process split.
     all_results = {}
-    for info in my_infos:
-        all_results[info.name] = train_osvos_sequence(
-            pipe, variables,
-            davis_root=davis_root, sequence_name=info.name,
-            results_root=results_root, cfg=cfg, **kw,
-        )
-        with open(my_json, "w") as f:
-            json.dump({k: {str(e): v for e, v in r.items()} for k, r in all_results.items()}, f)
+    if mesh is not None:
+        n = mesh.devices.size
+        for s in range(0, len(my_infos), n):
+            group = [i.name for i in my_infos[s : s + n]]
+            all_results.update(train_osvos_sequences_lockstep(
+                pipe, variables,
+                davis_root=davis_root, sequence_names=group,
+                results_root=results_root, cfg=cfg, mesh=mesh, **kw,
+            ))
+            dump(all_results)
+    else:
+        for info in my_infos:
+            all_results[info.name] = train_osvos_sequence(
+                pipe, variables,
+                davis_root=davis_root, sequence_name=info.name,
+                results_root=results_root, cfg=cfg, **kw,
+            )
+            dump(all_results)
 
     if world > 1:
         all_results = _merge_osvos_results(all_results, [i.name for i in infos])

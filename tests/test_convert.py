@@ -224,3 +224,62 @@ def test_full_state_dict_coverage():
     assert jax.tree_util.tree_structure(jax.tree.map(np.shape, new_vars)) == jax.tree_util.tree_structure(
         jax.tree.map(np.shape, jax.tree.map(np.asarray, variables))
     )
+
+
+def test_full_segmentation_pth_roundtrips_into_running_pipeline(tmp_path):
+    """Day-one real-weight validation must be ONE command (RUNBOOK steps 0-2):
+    a reference `model_slow_fast_*.pth` — a full SegmentationModel state dict
+    whose Mask R-CNN keys are prefixed `maskrcnn_model.` and whose temporal
+    keys are `slow_fast.*` (reference `code/train.py:112-121` saves the whole
+    module) — must load through the drivers' `_load_init` (`scripts/train.py`)
+    with zero unused keys AND produce a pipeline that runs end to end."""
+    from scripts.train import _load_init
+    from slowfast_vos_tpu.models.config import DetectionConfig
+    from slowfast_vos_tpu.models.pipeline import build_pipeline, init_variables
+
+    cfg = DetectionConfig(
+        rpn_pre_nms_top_n_train=64, rpn_post_nms_top_n_train=32,
+        rpn_pre_nms_top_n_test=64, rpn_post_nms_top_n_test=32,
+        box_batch_size_per_image=32, mask_train_rois=8,
+        detections_per_img=5, max_gt=3,
+    )
+    pipe, model = build_pipeline(
+        slow=1, fast=3, original_hw=(60, 100), min_size=64, max_size=128,
+        cfg=cfg, backbone_batch=4, chunk=4,
+    )
+    variables = init_variables(model, jax.random.PRNGKey(0))
+
+    bare = _fake_torchvision_state_dict(variables)
+    # N(0,1) conv weights overflow bf16 through 50 layers; shrink them so the
+    # converted net produces finite detections (BN shifts keep signals alive).
+    bare = {k: (v * 0.02 if v.ndim >= 2 else v) for k, v in bare.items()}
+    # Real full-checkpoint layout: SegmentationModel attributes are
+    # `maskrcnn_model` and `slow_fast`, so every Mask R-CNN key is prefixed.
+    full = {
+        (k if k.startswith("slow_fast.") else f"maskrcnn_model.{k}"): torch.tensor(v)
+        for k, v in bare.items()
+    }
+    # num_batches_tracked buffers ride along in real torch checkpoints and
+    # must be ignored, not reported unused.
+    full["maskrcnn_model.backbone.body.bn1.num_batches_tracked"] = torch.tensor(0)
+    path = str(tmp_path / "model_slow_fast_1_3.pth")
+    torch.save(full, path)
+
+    from slowfast_vos_tpu.convert import load_torch_checkpoint
+
+    sd = load_torch_checkpoint(path)
+    _, report = convert_state_dict(sd, variables)
+    assert report["unused_source_keys"] == [], report["unused_source_keys"][:10]
+    assert report["converted"] == len(bare)
+
+    loaded = _load_init(path, variables)
+    # the prefixed keys landed (not still init values)
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["box_head"]["fc7"]["kernel"]),
+        _linear(bare["roi_heads.box_head.fc7.weight"]),
+    )
+    dets = pipe.infer_sequence(loaded, np.zeros((3, 60, 100, 3), np.uint8))
+    assert len(dets) == 3
+    for det in dets:
+        assert np.isfinite(det["boxes"]).all()
+        assert det["union_mask"].shape == (60, 100)
