@@ -110,6 +110,63 @@ def main():
         bench_config(slow, fast, transport=args.transport, runs=args.runs)
 
 
+def device_fps(pipe, variables, clip: np.ndarray, transport: str, runs: int):
+    """Device-side throughput: every chunk's transport arrays pre-uploaded,
+    so the timed loop is only the compiled superchunk graphs. The run ends
+    with ONE device->host scalar fetch that depends on every chunk's outputs
+    (the tunnel backend defers unfetched work — CLAUDE.md timing rule), so
+    each run pays exactly one ~28 ms RTT. This column separates device
+    compute from the tunnel's >2x run-to-run transfer jitter that dominates
+    the wall-clock numbers."""
+    import jax
+    import jax.numpy as jnp
+
+    from slowfast_vos_tpu.models.transform import rgb_to_yuv420
+
+    t = clip.shape[0]
+    sc = pipe.superchunk
+    hl, hr = pipe.halo_left, pipe.halo_right
+    use_carry = pipe.sf.fast > 1
+
+    prepared = []
+    first = True
+    for c in range(0, t, sc):
+        widxs = np.arange(c - hl, c + sc + hr)
+        in_range = (widxs >= 0) & (widxs < t)
+        idxs = widxs if (first or not use_carry) else widxs[pipe.sf.fast - 1 :]
+        window = clip[np.clip(idxs, 0, t - 1)].copy()
+        window[~((idxs >= 0) & (idxs < t))] = 0
+        if transport == "yuv420":
+            y, uv = rgb_to_yuv420(window)
+            dev_images = (jax.device_put(y), jax.device_put(uv))
+        else:
+            dev_images = jax.device_put(window)
+        prepared.append((dev_images, jax.device_put(in_range), first))
+        first = False
+
+    def run_once():
+        carry = None
+        total = None
+        for dev_images, in_range_dev, is_first in prepared:
+            if not use_carry:
+                outs = pipe._superchunk(variables, dev_images, in_range_dev)
+            elif is_first:
+                outs, carry = pipe._superchunk_first(variables, dev_images, in_range_dev)
+            else:
+                outs, carry = pipe._superchunk_carry(variables, dev_images, in_range_dev, carry)
+            s = jnp.sum(outs[1])  # scores: depends on the whole chunk graph
+            total = s if total is None else total + s
+        return float(total)  # single scalar fetch flushes everything
+
+    run_once()  # warm (graphs already compiled by the wall-clock bench)
+    fps = []
+    for _ in range(runs):
+        t0 = time.time()
+        run_once()
+        fps.append(t / (time.time() - t0))
+    return max(fps), float(np.median(fps))
+
+
 def bench_config(slow: int, fast: int, *, transport: str, runs: int):
     import jax
 
@@ -137,6 +194,8 @@ def bench_config(slow: int, fast: int, *, transport: str, runs: int):
         assert len(dets) == clip.shape[0]
         fps_runs.append(clip.shape[0] / dt)
 
+    dev_best, dev_median = device_fps(pipe, variables, clip, transport, runs)
+
     config = f"{slow}-{fast}"
     ref_fps = 1376.0 / REFERENCE_WALL_S.get(config, REFERENCE_WALL_S["3-3"])
     fps = max(fps_runs)
@@ -149,6 +208,8 @@ def bench_config(slow: int, fast: int, *, transport: str, runs: int):
                 "vs_baseline": round(fps / ref_fps, 3),
                 "median": round(float(np.median(fps_runs)), 3),
                 "runs": [round(f, 3) for f in fps_runs],
+                "device_fps": round(dev_best, 3),
+                "device_median": round(dev_median, 3),
                 "config": config,
                 "transport": transport,
             }

@@ -295,6 +295,42 @@ class SlowFastTemporal(nn.Module):
                 )(v).astype(self.dtype)
                 slow_x = nn.relu(bn(merged[..., :192], "slow1_bn"))
                 fast_x = nn.relu(bn(merged[..., 192:], "fast1_bn"))
+        elif not train:
+            # s != f, eval: ONE 2D conv over the full padded clip with EVERY
+            # stage-1 tap kernel concatenated along cout (slow tap i at
+            # channel block i*192, fast tap j at ks1*192 + j*32), then
+            # per-pathway shifted-slice adds: slow tap i aligns at clip
+            # offset d + i, fast tap j at offset j. Shares the one pass over
+            # the GB-scale clip between pathways even though their kt and
+            # temporal alignment differ, at the cost of computing the slow
+            # taps over F-S extra frames (measured win: 157.6 -> 152.2 ms
+            # enhance at 3-7 production shape, scripts/profile_enhance.py
+            # variant G; bias added after tap accumulation and cross-tap
+            # adds in ascending order, matching temporal_conv_apply).
+            cin = padded.shape[-1]
+            slow_c = TemporalConv(192, cin=cin, kt=ks1, k=3, name="slow1_conv", dtype=self.dtype)
+            fast_c = TemporalConv(32, cin=cin, kt=kf1, k=3, name="fast1_conv", dtype=self.dtype)
+            s1s, s1b = _BNFold(192, name="slow1_bn")()
+            f1s, f1b = _BNFold(32, name="fast1_bn")()
+            sk, sb = slow_c.folded(s1s, s1b)
+            fk, fb = fast_c.folded(f1s, f1b)
+            wcat = jnp.concatenate(
+                [sk[i] for i in range(ks1)] + [fk[j] for j in range(kf1)], axis=-1
+            )
+            y = temporal_conv_apply(padded, wcat[None], None, self.dtype)
+            s_len = (t + s - 1) - ks1 + 1
+            f_len = (t + f - 1) - kf1 + 1
+            s_acc = None
+            for i in range(ks1):
+                sl = y[d + i : d + i + s_len, :, :, i * 192 : (i + 1) * 192]
+                s_acc = sl if s_acc is None else s_acc + sl
+            base = ks1 * 192
+            f_acc = None
+            for j in range(kf1):
+                sl = y[j : j + f_len, :, :, base + j * 32 : base + (j + 1) * 32]
+                f_acc = sl if f_acc is None else f_acc + sl
+            slow_x = nn.relu(s_acc + sb.astype(self.dtype))
+            fast_x = nn.relu(f_acc + fb.astype(self.dtype))
         else:
             slow_x = nn.relu(self._conv_bn(slow_x, 192, ks1, "slow1", train))
             fast_x = nn.relu(self._conv_bn(fast_x, 32, kf1, "fast1", train))

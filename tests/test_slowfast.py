@@ -140,6 +140,69 @@ def test_stage1_merged_conv_equals_separate_pathway_convs():
     np.testing.assert_array_equal(np.asarray(merged), np.asarray(sep))
 
 
+@pytest.mark.parametrize("slow,fast", [(3, 7), (1, 7)])
+def test_stage1_cross_pathway_merged_conv_equals_separate(slow, fast):
+    """The s != f eval stage-1 (slowfast.py variant G: ONE conv over the full
+    padded clip with every tap kernel along cout, then per-pathway
+    shifted-slice adds) must equal the separate per-pathway temporal convs:
+    slow tap i aligns at clip offset d+i on the d-shifted slow slice, fast
+    tap j at offset j, and per-output-channel conv reductions are
+    independent of cout. Mirrors the adopted code exactly (f32 => exact)."""
+    from slowfast_vos_tpu.models.slowfast import temporal_conv_apply
+
+    ks1 = pathway_kernel_sizes(slow)[0]
+    kf1 = pathway_kernel_sizes(fast)[0]
+    d = fast // 2 - slow // 2
+    t = 4
+    rng = np.random.default_rng(5)
+    padded = jnp.asarray(rng.normal(size=(t + fast - 1, 6, 6, 16)).astype(np.float32))
+    ws = jnp.asarray(rng.normal(size=(ks1, 3, 3, 16, 12)).astype(np.float32))
+    wf = jnp.asarray(rng.normal(size=(kf1, 3, 3, 16, 4)).astype(np.float32))
+    bs = jnp.asarray(rng.normal(size=(12,)).astype(np.float32))
+    bf = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+
+    # separate (production C form): per-pathway valid temporal convs
+    slow_sep = temporal_conv_apply(padded[d : d + t + slow - 1], ws, bs, jnp.float32)
+    fast_sep = temporal_conv_apply(padded, wf, bf, jnp.float32)
+
+    # merged G form, transcribed from SlowFastTemporal.__call__
+    wcat = jnp.concatenate([ws[i] for i in range(ks1)] + [wf[j] for j in range(kf1)], axis=-1)
+    y = temporal_conv_apply(padded, wcat[None], None, jnp.float32)
+    s_len = (t + slow - 1) - ks1 + 1
+    f_len = (t + fast - 1) - kf1 + 1
+    s_acc = None
+    for i in range(ks1):
+        sl = y[d + i : d + i + s_len, :, :, i * 12 : (i + 1) * 12]
+        s_acc = sl if s_acc is None else s_acc + sl
+    base = ks1 * 12
+    f_acc = None
+    for j in range(kf1):
+        sl = y[j : j + f_len, :, :, base + j * 4 : base + (j + 1) * 4]
+        f_acc = sl if f_acc is None else f_acc + sl
+
+    np.testing.assert_allclose(np.asarray(s_acc + bs), np.asarray(slow_sep), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_acc + bf), np.asarray(fast_sep), rtol=1e-6)
+
+
+@pytest.mark.parametrize("slow,fast", [(3, 7), (1, 7)])
+def test_asymmetric_merged_stage1_keeps_param_tree(slow, fast):
+    """The s != f eval merge must keep the checkpointable tree identical to
+    the separate-path form and leave the train path (real BN) untouched."""
+    ks1 = pathway_kernel_sizes(slow)[0]
+    kf1 = pathway_kernel_sizes(fast)[0]
+    mod = SlowFastTemporal(slow=slow, fast=fast, channels=8, dtype=jnp.float32)
+    feats = jnp.asarray(np.random.default_rng(0).normal(size=(fast, 4, 4, 8)), jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(0), feats)
+    assert variables["params"]["slow1_conv"]["kernel"].shape == (ks1, 3, 3, 8, 192)
+    assert variables["params"]["fast1_conv"]["kernel"].shape == (kf1, 3, 3, 8, 32)
+    _, updates = mod.apply(variables, feats, train=True, mutable=["batch_stats"])
+    for name in ("slow1_bn", "fast1_bn"):
+        assert not np.allclose(
+            np.asarray(variables["batch_stats"][name]["mean"]),
+            np.asarray(updates["batch_stats"][name]["mean"]),
+        ), name
+
+
 def test_merged_stage1_keeps_param_tree_and_train_stats():
     """s==f merged stage 1 must keep the checkpointable tree identical to the
     separate-path form (slow1_conv/fast1_conv kernels + slow1_bn/fast1_bn)
