@@ -26,6 +26,10 @@ I. G + H combined.
 Measured (TPU v5e behind the tunnel, best of 3):
   3-3: A 120.4 | B 179.6 | C 125.8 | E 134.6 | F 136.4  -> production form
        (A = C + merged stage-1 + BN fold) stands; E/F retired.
+  3-7: A 157.6 | B 214.2 | C 158.2 | E 166.6 | F 158.7 | G 152.2 | H 160.7
+       | I 152.9; groups: slow chain 111.8, fast chain + fuses 74.1.
+       -> G ADOPTED as the s != f eval stage-1 (models/slowfast.py);
+       H/I retired (the cin-concat copies eat the occupancy win).
 """
 import sys
 import time

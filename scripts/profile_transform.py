@@ -17,6 +17,10 @@ at bf16 ulp, breaking the carry path's bit-exactness contract
 Any adoption must re-validate that test AND the TPU carry equivalence.
 
 Run on TPU:  python scripts/profile_transform.py
+
+SETTLED (round 4, TPU v5e, best of 3): A 34.7 ms, B 36.9 ms — B LOSES on
+TPU as well; production keeps A. The staged variant is retired (kept here
+only as the measurement record).
 """
 import sys
 import time
