@@ -442,7 +442,7 @@ def build_pipeline(
     max_size: int = 1333,
     cfg: DetectionConfig | None = None,
     use_slow_fast: bool = True,
-    s2d_stem: bool = True,
+    s2d_stem: bool = False,
     **kw,
 ) -> tuple[Pipeline, SlowFastMaskRCNN]:
     cfg = cfg or DetectionConfig(num_classes=num_classes)

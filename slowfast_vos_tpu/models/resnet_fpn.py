@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -51,6 +52,27 @@ class Bottleneck(nn.Module):
         y = conv(self.features * 4, 1, name="conv3", dtype=self.dtype)(y)
         y = FrozenBatchNorm(self.features * 4, name="bn3")(y)
         return nn.relu(y + shortcut)
+
+
+def stem_kernel_from_s2d(w44: "np.ndarray"):
+    """Exact inverse of `stem_kernel_to_s2d`: [4,4,12,64] -> [7,7,3,64].
+
+    Each 7x7 tap (ei, ej) lives at exactly one (ki, pi, kj, pj) with
+    e = 2(k-2)+p, p = e mod 2 — the map is injective, so old s2d-stem
+    checkpoints load into standard-stem models losslessly."""
+    import numpy as np
+
+    assert tuple(w44.shape[:2]) == (4, 4)
+    c = w44.shape[2] // 4
+    out = np.zeros((7, 7, c, w44.shape[3]), w44.dtype)
+    for ei in range(-3, 4):
+        pi = ei % 2
+        ki = (ei - pi) // 2 + 2
+        for ej in range(-3, 4):
+            pj = ej % 2
+            kj = (ej - pj) // 2 + 2
+            out[ei + 3, ej + 3] = w44[ki, kj, (pi * 2 + pj) * c : (pi * 2 + pj + 1) * c]
+    return out
 
 
 def space_to_depth(x, factor: int = 2):
@@ -90,10 +112,15 @@ def stem_kernel_to_s2d(w7: "np.ndarray"):
 class ResNet50(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
-    # Space-to-depth stem: the naive 7x7/s2 conv over 3 channels pads 3->128
-    # MXU lanes (measured 16 ms of a 37 ms backbone pass on v5e); the exact
-    # s2d(2) reformulation runs it over 12 channels at a quarter the cost.
-    s2d_stem: bool = True
+    # Stem choice, settled by direct A/B at the production canvas
+    # ([34,768,1344,3], scripts/profile_backbone_variants.py, v5e round 4):
+    # naive 7x7/s2 16.2 ms < W-fold-s2d 17.6 < full s2d(2) 23.6 (RTT-corrected).
+    # The round-2 "s2d is 4x cheaper" result does not reproduce at this shape:
+    # the python-transpose s2d feeds the conv through ~5 ms of relayout copies
+    # (trace: copy.120-122) and the 12-channel conv still runs at ~7% MXU, so
+    # the standard stem is BOTH simplest and fastest; s2d stays available for
+    # old checkpoints (exact both-way kernel remaps + migrate_params).
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -125,9 +152,61 @@ class ResNet50(nn.Module):
         return outs  # [C2 (/4), C3 (/8), C4 (/16), C5 (/32)]
 
 
+class _SmoothConv3x3(nn.Module):
+    """3x3 SAME conv with the kernel exposed for composition. Param tree
+    (kernel [3,3,cin,features] + bias) is byte-identical to
+    `nn.Conv(features, (3, 3))`, so checkpoints are unaffected."""
+
+    features: int
+    cin: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, self.cin, self.features)
+        )
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+    def __call__(self, x):
+        x, kernel, bias = nn.dtypes.promote_dtype(x, self.kernel, self.bias, dtype=self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias
+
+    def upsampled_kernel(self):
+        """K (*) ones(2,2) in f32: conv3x3(nearest_up2(x)) ==
+        conv(x, upsampled_kernel, lhs_dilation=2, padding=2) exactly
+        (composition of correlations; verified vs the materialized upsample
+        in tests/test_backbone.py and scripts/profile_backbone_variants.py)."""
+        k = self.kernel.astype(jnp.float32)
+        cin, cout = k.shape[2], k.shape[3]
+        k4 = jax.lax.conv_general_dilated(
+            k.transpose(2, 3, 0, 1).reshape(-1, 1, 3, 3),
+            jnp.ones((1, 1, 2, 2), jnp.float32),
+            (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        return k4.reshape(cin, cout, 4, 4).transpose(2, 3, 0, 1)
+
+
 class FPN(nn.Module):
     """Lateral 1x1 + top-down nearest-upsample + 3x3 smoothing, 256 channels,
-    plus the extra stride-64 'pool' level used only by the RPN."""
+    plus the extra stride-64 'pool' level used only by the RPN.
+
+    The FINAL top-down level (P2, the full-resolution one) never materializes
+    `lat + up(P3)`: since no deeper level consumes that sum, it is rewritten
+    as smooth(lat) + conv(P3, K (*) ones(2,2), lhs_dilation=2) — the
+    zero-stuffed transposed-conv identity for conv-of-nearest-upsample. The
+    materialized form's broadcast/reshape/add chain cost ~13 ms/superchunk on
+    v5e (trace round 4: broadcast.4 + reshape.44 + fusion.15 at a T(2,128)
+    tile); the dilated-conv form measured 27.5 vs 32.8 ms for the whole P2
+    combine+smooth (scripts/profile_backbone_variants.py). Upper levels keep
+    the exact broadcast-add (their sums feed the chain and are cheap at
+    <=1/4 the pixels). Values differ from the sum-then-smooth form only at
+    bf16 ulp (conv(a)+conv(b) vs conv(a+b)); with f32 compute it is exact to
+    normal accumulation tolerance (tests/test_backbone.py)."""
 
     out_channels: int = 256
     dtype: jnp.dtype = jnp.bfloat16
@@ -138,28 +217,42 @@ class FPN(nn.Module):
             Conv1x1MM(self.out_channels, use_bias=True, name=f"inner_{i}", dtype=self.dtype)(c)
             for i, c in enumerate(inputs)
         ]
-        outs = [None] * len(laterals)
-        prev = laterals[-1]
-        outs[-1] = prev
-        for i in range(len(laterals) - 2, -1, -1):
-            lat = laterals[i]
+
+        def combine(lat, prev):
             h, w = lat.shape[-3:-1]
             ph, pw = prev.shape[-3:-1]
             if (h, w) == (2 * ph, 2 * pw):
-                # Nearest 2x upsample expressed as a broadcast INSIDE the add
-                # (reshape H/W into (h, 2)/(w, 2) pairs — a bitcast in the
-                # C-minor conv layout) instead of a materialized repeat: the
-                # repeat form cost ~5 ms/superchunk of standalone broadcast
-                # ops in the device trace. Same value pairing, bit-identical.
                 lat6 = lat.reshape(*lat.shape[:-3], ph, 2, pw, 2, lat.shape[-1])
-                prev = (lat6 + prev[..., :, None, :, None, :]).reshape(lat.shape)
-            else:
-                up = jnp.repeat(jnp.repeat(prev, 2, axis=-3), 2, axis=-2)[..., :h, :w, :]
-                prev = lat + up
-            outs[i] = prev
-        outs = [
-            conv(self.out_channels, 3, name=f"layer_{i}", use_bias=True, dtype=self.dtype)(o)
-            for i, o in enumerate(outs)
+                return (lat6 + prev[..., :, None, :, None, :]).reshape(lat.shape)
+            up = jnp.repeat(jnp.repeat(prev, 2, axis=-3), 2, axis=-2)[..., :h, :w, :]
+            return lat + up
+
+        sums = [None] * len(laterals)
+        prev = laterals[-1]
+        sums[-1] = prev
+        for i in range(len(laterals) - 2, 0, -1):
+            prev = combine(laterals[i], prev)
+            sums[i] = prev
+
+        lat0 = laterals[0]
+        smooth0 = _SmoothConv3x3(
+            self.out_channels, cin=lat0.shape[-1], name="layer_0", dtype=self.dtype
+        )
+        h, w = lat0.shape[-3:-1]
+        ph, pw = prev.shape[-3:-1]
+        if (h, w) == (2 * ph, 2 * pw):
+            k4 = smooth0.upsampled_kernel().astype(self.dtype)
+            up_part = jax.lax.conv_general_dilated(
+                prev, k4, (1, 1), [(2, 2), (2, 2)], lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            out0 = smooth0(lat0) + up_part
+        else:
+            out0 = smooth0(combine(lat0, prev))
+
+        outs = [out0] + [
+            conv(self.out_channels, 3, name=f"layer_{i}", use_bias=True, dtype=self.dtype)(sums[i])
+            for i in range(1, len(laterals))
         ]
         pool = nn.max_pool(outs[-1], (1, 1), strides=(2, 2))
         return outs + [pool]  # P2, P3, P4, P5, P6('pool')

@@ -38,9 +38,10 @@ class SlowFastMaskRCNN(nn.Module):
     # False = plain per-frame Mask R-CNN (the reference's fine-tune path,
     # `code/maskrcnn/maskrcnn_src.py`): RoI heads consume raw FPN features.
     use_slow_fast: bool = True
-    # Space-to-depth stem (see models/resnet_fpn.py); disable for strict
-    # parameter-layout parity with torchvision.
-    s2d_stem: bool = True
+    # Standard 7x7 stem by default (faster at production canvas AND
+    # torchvision-layout — see models/resnet_fpn.py round-4 A/B); the
+    # space-to-depth stem remains available for old checkpoints.
+    s2d_stem: bool = False
 
     def setup(self):
         self.backbone = ResNet50FPN(dtype=self.dtype, s2d_stem=self.s2d_stem)

@@ -40,8 +40,9 @@ def load_variables(path: str) -> dict:
 
 def migrate_params(loaded_params: dict, target_params: dict) -> dict:
     """Adapt loaded params to the target's layout where an EXACT transform
-    exists. Currently: standard 7x7 stem -> space-to-depth stem (checkpoints
-    saved before s2d_stem, or with s2d_stem=False, load into s2d models)."""
+    exists. Currently: the stem kernel remaps BOTH ways between the standard
+    7x7 [7,7,3,64] and space-to-depth [4,4,12,64] layouts (the map is
+    injective, so either checkpoint generation loads into either model)."""
     try:
         k = loaded_params["backbone"]["body"]["conv1"]["kernel"]
         t = target_params["backbone"]["body"]["conv1"]["kernel"]
@@ -49,13 +50,16 @@ def migrate_params(loaded_params: dict, target_params: dict) -> dict:
         return loaded_params
     import numpy as np
 
+    remap = None
     if tuple(np.shape(k)) == (7, 7, 3, 64) and tuple(np.shape(t)) == (4, 4, 12, 64):
-        from slowfast_vos_tpu.models.resnet_fpn import stem_kernel_to_s2d
-
+        from slowfast_vos_tpu.models.resnet_fpn import stem_kernel_to_s2d as remap
+    elif tuple(np.shape(k)) == (4, 4, 12, 64) and tuple(np.shape(t)) == (7, 7, 3, 64):
+        from slowfast_vos_tpu.models.resnet_fpn import stem_kernel_from_s2d as remap
+    if remap is not None:
         out = {**loaded_params}
         out["backbone"] = {**loaded_params["backbone"]}
         out["backbone"]["body"] = {**loaded_params["backbone"]["body"]}
-        out["backbone"]["body"]["conv1"] = {"kernel": stem_kernel_to_s2d(np.asarray(k))}
+        out["backbone"]["body"]["conv1"] = {"kernel": remap(np.asarray(k))}
         return out
     return loaded_params
 

@@ -66,3 +66,27 @@ def test_migrate_params_converts_old_stem():
     # same-layout passthrough
     same = migrate_params(loaded, loaded)
     assert same["backbone"]["body"]["conv1"]["kernel"] is w7
+
+
+def test_stem_kernel_roundtrip_both_ways():
+    """stem_kernel_from_s2d is the exact inverse of stem_kernel_to_s2d, so
+    s2d-era checkpoints load into the (now default) standard-stem models."""
+    from slowfast_vos_tpu.models.resnet_fpn import stem_kernel_from_s2d
+
+    rng = np.random.default_rng(7)
+    w7 = rng.normal(size=(7, 7, 3, 64)).astype(np.float32)
+    np.testing.assert_array_equal(stem_kernel_from_s2d(stem_kernel_to_s2d(w7)), w7)
+
+
+def test_migrate_params_converts_s2d_to_standard():
+    from slowfast_vos_tpu.utils.checkpoint import migrate_params
+    from slowfast_vos_tpu.models.resnet_fpn import stem_kernel_from_s2d
+
+    rng = np.random.default_rng(8)
+    w44 = rng.normal(size=(4, 4, 12, 64)).astype(np.float32)
+    loaded = {"backbone": {"body": {"conv1": {"kernel": w44}}}}
+    target = {"backbone": {"body": {"conv1": {"kernel": np.zeros((7, 7, 3, 64))}}}}
+    out = migrate_params(loaded, target)
+    np.testing.assert_array_equal(
+        out["backbone"]["body"]["conv1"]["kernel"], stem_kernel_from_s2d(w44)
+    )

@@ -381,6 +381,38 @@ def test_fpn_parity():
         np.testing.assert_allclose(np.asarray(g), wnt, atol=2e-4)
 
 
+def test_fpn_dilated_p2_combine_matches_materialized():
+    """The last-level rewrite smooth(lat)+dilconv(prev) must equal the
+    materialized sum-then-smooth form (f32) — the upper levels share one
+    code path with it by construction."""
+    import numpy as np, jax.numpy as jnp
+    from slowfast_vos_tpu.models.resnet_fpn import FPN
+
+    rng = np.random.default_rng(11)
+    chans = [64, 128, 256, 512]
+    sizes = [(32, 48), (16, 24), (8, 12), (4, 6)]
+    inputs = [jnp.asarray(rng.normal(size=(2, h, w, c)).astype(np.float32)) for (h, w), c in zip(sizes, chans)]
+    fpn = FPN(dtype=jnp.float32)
+    params = fpn.init(jax.random.PRNGKey(0), inputs)["params"]
+    got = fpn.apply({"params": params}, inputs)
+
+    # materialized reference: run the generic combine for level 0 by feeding
+    # a lat whose shape defeats the 2x fast path (crop one row), then fix up.
+    lat0 = jnp.einsum("nhwc,cd->nhwd", inputs[0], params["inner_0"]["kernel"][0, 0]) + params["inner_0"]["bias"]
+    lat1 = jnp.einsum("nhwc,cd->nhwd", inputs[1], params["inner_1"]["kernel"][0, 0]) + params["inner_1"]["bias"]
+    lat2 = jnp.einsum("nhwc,cd->nhwd", inputs[2], params["inner_2"]["kernel"][0, 0]) + params["inner_2"]["bias"]
+    lat3 = jnp.einsum("nhwc,cd->nhwd", inputs[3], params["inner_3"]["kernel"][0, 0]) + params["inner_3"]["bias"]
+    up = lambda x: jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    s2 = lat2 + up(lat3)
+    s1 = lat1 + up(s2)
+    s0 = lat0 + up(s1)
+    want = jax.lax.conv_general_dilated(
+        s0, params["layer_0"]["kernel"], (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + params["layer_0"]["bias"]
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want), atol=2e-4)
+
+
 # ---------------------------------------------------------------------------
 # (e) RPN filter_proposals vs a torchvision-transcribed oracle
 # ---------------------------------------------------------------------------
