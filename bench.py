@@ -82,6 +82,19 @@ def bench_train():
 # GPU (`final_report/chapters/Experiments.tex:20-24`).
 REFERENCE_WALL_S = {"1-1": 477.0, "3-3": 544.0, "7-7": 853.0, "1-7": 528.0, "3-7": 584.0}
 
+# Peak bf16 matmul throughput of one TPU v5e chip (197 TFLOP/s).
+V5E_BF16_FLOPS = 197e12
+
+# Model FLOPs per frame (steady-state carry superchunk graph / frames per
+# superchunk), from XLA's own cost analysis of the compiled production graphs
+# (`scripts/profile_flops.py`; 480x854 input -> 768x1344 canvas). Used only
+# for the `device_mfu` diagnostic column.
+FLOPS_PER_FRAME = {}
+
+
+def model_flops_per_frame(slow: int, fast: int) -> float:
+    return FLOPS_PER_FRAME.get(f"{slow}-{fast}", 0.0)
+
 
 def main():
     import argparse
@@ -194,27 +207,37 @@ def bench_config(slow: int, fast: int, *, transport: str, runs: int):
         assert len(dets) == clip.shape[0]
         fps_runs.append(clip.shape[0] / dt)
 
-    dev_best, dev_median = device_fps(pipe, variables, clip, transport, runs)
-
     config = f"{slow}-{fast}"
     ref_fps = 1376.0 / REFERENCE_WALL_S.get(config, REFERENCE_WALL_S["3-3"])
     fps = max(fps_runs)
-    print(
-        json.dumps(
-            {
-                "metric": "inference_frames_per_sec_per_chip",
-                "value": round(fps, 3),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / ref_fps, 3),
-                "median": round(float(np.median(fps_runs)), 3),
-                "runs": [round(f, 3) for f in fps_runs],
-                "device_fps": round(dev_best, 3),
-                "device_median": round(dev_median, 3),
-                "config": config,
-                "transport": transport,
-            }
-        )
-    )
+    record = {
+        "metric": "inference_frames_per_sec_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / ref_fps, 3),
+        "median": round(float(np.median(fps_runs)), 3),
+        "runs": [round(f, 3) for f in fps_runs],
+        "config": config,
+        "transport": transport,
+    }
+    # Print the wall-clock record IMMEDIATELY: if the device-side pass below
+    # hits a compile storm or the driver's timeout, the round still has a
+    # parsed number (round-4 lesson: BENCH_r04 rc=124, parsed null).
+    print(json.dumps(record), flush=True)
+
+    try:
+        dev_best, dev_median = device_fps(pipe, variables, clip, transport, runs)
+    except Exception as e:  # never let the enrichment kill the record
+        print(f"device_fps pass failed: {e!r}", file=sys.stderr)
+        return
+    record["device_fps"] = round(dev_best, 3)
+    record["device_median"] = round(dev_median, 3)
+    fpf = model_flops_per_frame(slow, fast)
+    if fpf:
+        record["device_mfu"] = round(fpf * dev_median / V5E_BF16_FLOPS, 4)
+    # Re-print the enriched record; drivers that take the LAST JSON line get
+    # the full row, drivers that take the first still got a valid one.
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":

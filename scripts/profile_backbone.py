@@ -34,6 +34,7 @@ def main():
     x = jnp.asarray(rng.normal(size=(t, hc, wc, 3)).astype(np.float32))
 
     model = ResNet50FPN()
+    print(f"stem: {'s2d 4x4/s1' if model.s2d_stem else 'standard 7x7/s2'} (production default)")
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
 
     def timeit(name, fn, *a, flops=None):

@@ -143,6 +143,7 @@ def make_backbone_step():
     from slowfast_vos_tpu.models.resnet_fpn import ResNet50FPN
 
     model = ResNet50FPN()
+    print(f"stem: {'s2d 4x4/s1' if model.s2d_stem else 'standard 7x7/s2'} (production default)")
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(34, 768, 1344, 3)).astype(np.float32))

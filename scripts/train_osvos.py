@@ -26,6 +26,13 @@ def main():
     p.add_argument("--scale", type=float, default=0.25)
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--original-hw", type=int, nargs=2, default=(480, 854))
+    p.add_argument(
+        "--parity-exact", action="store_true",
+        help="reference-exact parity mode for J&F-gated runs: per-sequence "
+        "fine-tunes run SERIALLY (no lockstep SPMD, whose bf16 step lowers "
+        "differently under shard_map and drifts ~1%% rel in grads) and the "
+        "model computes in float32. Slower; use for the RUNBOOK 0.5-pt gates.",
+    )
     args = p.parse_args()
 
     import jax
@@ -44,7 +51,12 @@ def main():
     # processes; the other modes run per-process serial. No-op single-process.
     init_distributed_mode()
 
-    pipe, model = build_pipeline(args.slow, args.fast, tuple(args.original_hw))
+    import jax.numpy as jnp
+
+    pipe, model = build_pipeline(
+        args.slow, args.fast, tuple(args.original_hw),
+        dtype=jnp.float32 if args.parity_exact else jnp.bfloat16,
+    )
     variables = init_variables(model, jax.random.PRNGKey(63))
     variables = _load_init(args.checkpoint, variables)
     cfg = ExperimentConfig(freeze=args.freeze, lr=args.lr, scale=args.scale, epochs=args.epochs)
@@ -59,6 +71,7 @@ def main():
         run_osvos_for_all_sequences(
             pipe, variables, davis_root=args.davis_root,
             results_root=args.results_root, output_json=args.output_json, cfg=cfg,
+            device_parallel=False if args.parity_exact else None,
         )
         print(f"wrote {args.output_json}")
     else:

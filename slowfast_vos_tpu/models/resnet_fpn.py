@@ -55,15 +55,34 @@ class Bottleneck(nn.Module):
 
 
 def stem_kernel_from_s2d(w44: "np.ndarray"):
-    """Exact inverse of `stem_kernel_to_s2d`: [4,4,12,64] -> [7,7,3,64].
+    """Inverse of `stem_kernel_to_s2d`: [4,4,12,64] -> [7,7,3,64].
 
     Each 7x7 tap (ei, ej) lives at exactly one (ki, pi, kj, pj) with
-    e = 2(k-2)+p, p = e mod 2 — the map is injective, so old s2d-stem
-    checkpoints load into standard-stem models losslessly."""
+    e = 2(k-2)+p, p = e mod 2 — exact for kernels produced by
+    `stem_kernel_to_s2d` (round-trip test in tests/test_s2d_stem.py).
+    The s2d kernel's (k=0, p=0) slots correspond to tap e=-4, outside the
+    7x7 receptive field: they are zero in migrated kernels but TRAINABLE in
+    OSVOS / trainable_backbone_layers=5 fine-tunes, so a fine-tuned s2d
+    checkpoint may carry signal there that this map must drop. We warn when
+    the dropped mass is non-negligible instead of silently losing it."""
     import numpy as np
 
     assert tuple(w44.shape[:2]) == (4, 4)
     c = w44.shape[2] // 4
+    w44 = np.asarray(w44)
+    # Slots with ei=-4 (ki=0, pi=0 -> channel groups 0,1) or ej=-4
+    # (kj=0, pj=0 -> channel groups 0,2) fall outside the 7x7 kernel.
+    dropped = float(
+        np.abs(w44[0, :, : 2 * c]).sum() + np.abs(w44[:, 0, 0 * c : 1 * c]).sum() + np.abs(w44[:, 0, 2 * c : 3 * c]).sum()
+    )
+    if dropped > 1e-6 * max(1.0, float(np.abs(w44).sum())):
+        import warnings
+
+        warnings.warn(
+            f"stem_kernel_from_s2d: dropping non-zero e=-4 taps (|sum|={dropped:.3e}) "
+            "from a fine-tuned s2d stem; the migration is lossy for this checkpoint.",
+            stacklevel=2,
+        )
     out = np.zeros((7, 7, c, w44.shape[3]), w44.dtype)
     for ei in range(-3, 4):
         pi = ei % 2
@@ -178,8 +197,9 @@ class _SmoothConv3x3(nn.Module):
     def upsampled_kernel(self):
         """K (*) ones(2,2) in f32: conv3x3(nearest_up2(x)) ==
         conv(x, upsampled_kernel, lhs_dilation=2, padding=2) exactly
-        (composition of correlations; verified vs the materialized upsample
-        in tests/test_backbone.py and scripts/profile_backbone_variants.py)."""
+        (composition of correlations; verified vs the materialized upsample in
+        tests/test_torch_parity.py::test_fpn_dilated_p2_combine_matches_materialized
+        and scripts/profile_backbone_variants.py)."""
         k = self.kernel.astype(jnp.float32)
         cin, cout = k.shape[2], k.shape[3]
         k4 = jax.lax.conv_general_dilated(
@@ -206,7 +226,8 @@ class FPN(nn.Module):
     the exact broadcast-add (their sums feed the chain and are cheap at
     <=1/4 the pixels). Values differ from the sum-then-smooth form only at
     bf16 ulp (conv(a)+conv(b) vs conv(a+b)); with f32 compute it is exact to
-    normal accumulation tolerance (tests/test_backbone.py)."""
+    normal accumulation tolerance
+    (tests/test_torch_parity.py::test_fpn_dilated_p2_combine_matches_materialized)."""
 
     out_channels: int = 256
     dtype: jnp.dtype = jnp.bfloat16
@@ -240,7 +261,10 @@ class FPN(nn.Module):
         )
         h, w = lat0.shape[-3:-1]
         ph, pw = prev.shape[-3:-1]
-        if (h, w) == (2 * ph, 2 * pw):
+        if len(laterals) == 1:
+            # Single level: nothing above to combine with (prev aliases lat0).
+            out0 = smooth0(lat0)
+        elif (h, w) == (2 * ph, 2 * pw):
             k4 = smooth0.upsampled_kernel().astype(self.dtype)
             up_part = jax.lax.conv_general_dilated(
                 prev, k4, (1, 1), [(2, 2), (2, 2)], lhs_dilation=(2, 2),
@@ -262,7 +286,10 @@ class ResNet50FPN(nn.Module):
     """Full backbone: images [N, H, W, 3] -> 5 FPN maps (strides 4..64)."""
 
     dtype: jnp.dtype = jnp.bfloat16
-    s2d_stem: bool = True
+    # Default matches ResNet50 / SlowFastMaskRCNN / build_pipeline (standard
+    # 7x7 stem is production since round 4); bare ResNet50FPN() now builds
+    # the production graph.
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x):

@@ -146,6 +146,15 @@ def train_osvos_sequences_lockstep(
     A trailing group smaller than the mesh wrap-fills with duplicates of
     member 0, whose outputs are dropped.
 
+    Parity-gated runs (the RUNBOOK 0.5-pt J&F gates) have two escape hatches
+    from that bf16 lowering drift: (a) build the pipeline with
+    `dtype=jnp.float32` — the drift collapses to f32 fusion noise and
+    lockstep J&F matches serial to ~1e-6 relative
+    (tests/test_osvos_lockstep.py::test_lockstep_f32_matches_serial_tightly);
+    (b) skip lockstep entirely with `device_parallel=False` /
+    `scripts/train_osvos.py --parity-exact`, which runs the reference's
+    serial per-sequence loop (`code/osvos/train_osvos.py:72-80`) verbatim.
+
     Returns {sequence_name: {epoch: {jfmean, jmean, fmean, eval_time}}}.
     """
     import time

@@ -77,3 +77,55 @@ def test_detection_parity(setup):
         b = data["det_masks"][i] >= 0.5
         union = (a | b).sum()
         assert union == 0 or (a & b).sum() / union > 0.95
+
+
+def test_manifest_covers_production_graphs(setup):
+    """The goldens must exercise the SHIPPED graphs (VERDICT r4 item 7):
+    standard 7x7 stem + dilated P2 combine (on every backbone_feats call the
+    other tests drive), and — when the capture included a slow_fast
+    checkpoint — the SlowFast enhance path. Fails on goldens captured before
+    the manifest existed, forcing a re-capture against current production."""
+    import json
+
+    from slowfast_vos_tpu.models.resnet_fpn import ResNet50, ResNet50FPN
+
+    _pipe, _v, data, _img = setup
+    assert "manifest" in data.files, "goldens predate the manifest; re-capture"
+    manifest = json.loads(str(data["manifest"]))
+    assert "stem_7x7" in manifest and "fpn_dilated_p2_combine" in manifest
+    # The manifest's claims hold only while these production defaults do.
+    assert ResNet50.s2d_stem is False and ResNet50FPN.s2d_stem is False
+
+
+def test_enhance_parity(setup):
+    """Replay the captured reference `SlowFastLayers` window (eval-mode BN)
+    through our `SlowFastTemporal` — for s != f captures this drives the
+    variant-G merged stage-1 eval path (`models/slowfast.py`), the one
+    production graph the Mask-R-CNN-only goldens cannot reach. f32 build for
+    a tight bound (CLAUDE.md dtype policy)."""
+    import jax
+    import jax.numpy as jnp
+
+    from slowfast_vos_tpu.convert import convert_state_dict, load_torch_checkpoint
+    from slowfast_vos_tpu.models.pipeline import build_pipeline, init_variables
+
+    _pipe, _v, data, img = setup
+    if "enhance_window" not in data.files:
+        pytest.skip("goldens captured without --slowfast-checkpoint")
+    slow, fast = (int(v) for v in data["enhance_config"])
+    ckpt = os.environ.get(
+        "GOLDEN_SF_CHECKPOINT", os.environ.get("GOLDEN_CHECKPOINT", "maskrcnn_model.pth")
+    )
+    import jax.numpy as jnp
+
+    pipe, model = build_pipeline(
+        slow=slow, fast=fast, original_hw=img.shape[:2], dtype=jnp.float32
+    )
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    variables, _report = convert_state_dict(load_torch_checkpoint(ckpt), variables)
+    variables = jax.tree.map(jnp.asarray, variables)
+
+    window = jnp.asarray(data["enhance_window"])  # [F, h, w, 256]
+    out = pipe.model.apply(variables, [window], method="enhance", pre_padded=True)[0]
+    got = np.asarray(out, np.float32)[0]
+    np.testing.assert_allclose(got, data["enhance_out"], atol=1e-3, rtol=1e-3)

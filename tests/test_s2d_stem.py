@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 from flax import linen as nn
 
 from slowfast_vos_tpu.models.resnet_fpn import (
@@ -90,3 +91,26 @@ def test_migrate_params_converts_s2d_to_standard():
     np.testing.assert_array_equal(
         out["backbone"]["body"]["conv1"]["kernel"], stem_kernel_from_s2d(w44)
     )
+
+
+def test_from_s2d_warns_on_trained_out_of_field_taps():
+    """The s2d kernel's (k=0, p=0) slots sit at tap e=-4, outside the 7x7
+    receptive field. They are zero for any kernel produced by
+    `stem_kernel_to_s2d` (no warning), but a fine-tuned s2d checkpoint can
+    carry signal there; dropping it silently would make the migration lossy
+    without notice (ADVICE r4)."""
+    import warnings
+
+    from slowfast_vos_tpu.models.resnet_fpn import stem_kernel_from_s2d
+
+    rng = np.random.default_rng(9)
+    w7 = rng.normal(size=(7, 7, 3, 64)).astype(np.float32)
+    clean = stem_kernel_to_s2d(w7)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        stem_kernel_from_s2d(clean)  # migrated kernel: silent
+
+    trained = clean.copy()
+    trained[0, 2, 0:3] = 0.5  # ki=0, pi=0 slot (tap ei=-4): fine-tuned signal
+    with pytest.warns(UserWarning, match="lossy"):
+        stem_kernel_from_s2d(trained)
