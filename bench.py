@@ -85,11 +85,17 @@ REFERENCE_WALL_S = {"1-1": 477.0, "3-3": 544.0, "7-7": 853.0, "1-7": 528.0, "3-7
 # Peak bf16 matmul throughput of one TPU v5e chip (197 TFLOP/s).
 V5E_BF16_FLOPS = 197e12
 
-# Model FLOPs per frame (steady-state carry superchunk graph / frames per
-# superchunk), from XLA's own cost analysis of the compiled production graphs
-# (`scripts/profile_flops.py`; 480x854 input -> 768x1344 canvas). Used only
-# for the `device_mfu` diagnostic column.
-FLOPS_PER_FRAME = {}
+# Model FLOPs per frame (`scripts/profile_flops.py`: analytic required-FLOPs
+# of backbone+FPN+RPN+enhance+heads at the 768x1344 canvas; implementation
+# overheads deliberately excluded so they DEPRESS mfu). Used only for the
+# `device_mfu` diagnostic column.
+FLOPS_PER_FRAME = {
+    "1-1": 675.3e9,
+    "3-3": 842.7e9,
+    "7-7": 1187.0e9,
+    "1-7": 709.0e9,
+    "3-7": 872.2e9,
+}
 
 
 def model_flops_per_frame(slow: int, fast: int) -> float:

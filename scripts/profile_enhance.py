@@ -15,6 +15,11 @@ G. stage-1 only: ONE conv over the full padded clip with ALL stage-1 tap
    production s==f merged stage-1 to s != f (where the slow chain reads a
    d-offset slice of the same padded clip) at the cost of computing the
    slow taps over F-S extra frames.
+G2. G, but the full concatenated kernel runs only over the slow window's
+   rows and a fast-channels-only conv covers the F-S edge rows — no
+   slow-tap waste. Reverted from production round 5: the extra input
+   consumer breaks the carry bit-exactness contract on XLA:CPU at bf16
+   ulp (see the variant-G comment in models/slowfast.py).
 H. fast-pathway cin=32 stages (f2, f3, u1, u2) with the kt taps folded
    into cin: one conv over concat(x[t..t+kt-1], axis=-1) with the tap
    kernels concatenated along cin. Raises MXU row occupancy 32 -> kt*32;
@@ -223,8 +228,42 @@ def main():
             f_acc = sl if f_acc is None else f_acc + sl
         return s_acc[None], f_acc[None]
 
-    def run_G(v, fast_conv):
-        s, f = stage1_merged_all(v)
+    def stage1_merged_mid_edge(v):
+        # Variant G2: G's concatenated slow+fast stage-1 kernel runs only
+        # over the rows the SLOW pathway consumes (v[d : d+t+S-1]); the F-S
+        # edge rows feed only fast taps, so a fast-channels-only conv covers
+        # them — removing G's slow-tap compute over the F-S extra frames
+        # (VERDICT r4 item 8). REVERTED from production after measurement
+        # of exactness: the extra input consumer lets XLA:CPU fuse the
+        # feature->mask->conv chain differently in the carry vs plain
+        # superchunk graphs, and the bf16-ulp enhance drift flips NMS ties —
+        # breaking test_carry_path_matches_plain_superchunks (reproduced
+        # with a fresh compile cache). Exact in f32
+        # (test_stage1_cross_pathway_merged_conv_equals_separate). Staged
+        # here for a future TPU-measured, both-backend-revalidated adoption.
+        ks1, kf1 = ks[0], kf[0]
+        wfast = jnp.concatenate([Ws["f1"][j] for j in range(kf1)], axis=-1)
+        wcat = jnp.concatenate([Ws["s1"][i] for i in range(ks1)] + [wfast], axis=-1)
+        ncs = ks1 * 192
+        mid = v[d : d + t_out + S - 1]
+        y_mid = conv2d(mid, wcat)
+        edges = jnp.concatenate([v[:d], v[d + t_out + S - 1 :]])
+        y_edge = conv2d(edges, wfast)
+        fast_rows = jnp.concatenate([y_edge[:d], y_mid[..., ncs:], y_edge[d:]])
+        s_len = (t_out + S - 1) - ks1 + 1
+        f_len = (t_out + F - 1) - kf1 + 1
+        s_acc = None
+        for i in range(ks1):
+            sl = y_mid[i : i + s_len, :, :, i * 192 : (i + 1) * 192]
+            s_acc = sl if s_acc is None else s_acc + sl
+        f_acc = None
+        for j in range(kf1):
+            sl = fast_rows[j : j + f_len, :, :, j * 32 : (j + 1) * 32]
+            f_acc = sl if f_acc is None else f_acc + sl
+        return s_acc[None], f_acc[None]
+
+    def run_G(v, fast_conv, stage1=stage1_merged_all):
+        s, f = stage1(v)
         s = jax.nn.relu(scale_shift(s, 192))
         f = jax.nn.relu(scale_shift(f, 32))
         s = jnp.concatenate([s, jax.nn.relu(scale_shift(fast_conv(f, Ws["u1"]), 64))], -1)
@@ -246,6 +285,12 @@ def main():
         jax.jit(partial(run_G, fast_conv=conv3d_as_2d)), x,
     )
     check("G", partial(run_G, fast_conv=conv3d_as_2d))
+
+    timeit(
+        "G2: G but slow-window-only full kernel + fast-only edge conv",
+        jax.jit(partial(run_G, fast_conv=conv3d_as_2d, stage1=stage1_merged_mid_edge)), x,
+    )
+    check("G2", partial(run_G, fast_conv=conv3d_as_2d, stage1=stage1_merged_mid_edge))
 
     def conv_cincat(v, w):
         # Variant H: taps folded into cin. X'[t] = concat(x[t+i] for i),

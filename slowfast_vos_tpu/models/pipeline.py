@@ -249,12 +249,34 @@ class Pipeline:
         ~11 ms/superchunk of device time AND re-uploaded 2 of 34 frames per
         chunk on a link where upload bytes are the wall-clock bottleneck
         (CLAUDE.md). The carried features were masked by the previous
-        chunk's feat_valid for the same global frames, so results are
-        bit-identical to the full recompute (tested).
+        chunk's feat_valid for the same global frames, so the reuse is an
+        exact reformulation of the full recompute (numeric scope below).
 
         images: [SC, H0, W0, 3] (or YUV tuple) — frames [c+hr, c+sc+hr);
         feat_valid: [SC+F-1] for the FULL window [c-hl, c+sc+hr);
         carry: 5 levels [F-1, h, w, 256] — features of [c-hl, c+hr).
+
+        Exactness scope of the carry contract (measured, round 5): the
+        reformulation is mathematically exact, and results are bit-identical
+        to the plain full-window graph on single-device XLA:CPU
+        (tests/test_pipeline_inference.py pins this via
+        `scripts/verify_carry_tpu.py --platform cpu`). It is NOT bit-exact
+        wherever XLA lowers the batch-SC carry backbone and the
+        batch-SC+F-1 plain backbone differently: under the 8-VIRTUAL-device
+        CPU test mesh (reduced per-device thread budget), per-frame backbone
+        outputs differ at bf16 ulp (max 6.3e-2, 6-11% of elements per FPN
+        level, isolated-jit reproduction), and on the v5e TPU backend the
+        same mechanism leaves a small bounded drift (tiny-shape measurement,
+        `scripts/verify_carry_tpu.py`: boxes <= 0.28 px, scores <= 2.1e-3,
+        isolated mask boundary pixels — far inside the 0.5-pt J&F parity
+        budget). Padding the carry batch to SC+F-1 does NOT restore
+        exactness (same-shape subgraphs inside different mega-graph
+        executables still partition differently); the by-construction remedy
+        — every path sharing ONE fixed-batch backbone executable + ONE
+        detect executable, host-composed — is designed but not adopted (it
+        forfeits the single-dispatch superchunk consolidation this tunnel
+        environment depends on, and risks the same cross-executable variance
+        in the dp-vs-serial contracts that currently hold).
         """
         sc = images[0].shape[0] if isinstance(images, tuple) else images.shape[0]
         canvas = (
@@ -373,8 +395,10 @@ class Pipeline:
 
         # Steady-state chunks carry the F-1 overlap frames' backbone features
         # on-device (`_superchunk_carry_impl`): only the SC new frames are
-        # uploaded and run through transform+backbone. Bit-identical to the
-        # full recompute; F=1 has no overlap, so no carry path.
+        # uploaded and run through transform+backbone. An exact reformulation
+        # of the full recompute — bit-identical on single-device XLA:CPU,
+        # bf16-ulp-bounded elsewhere (see `_superchunk_carry_impl`'s
+        # exactness-scope note); F=1 has no overlap, so no carry path.
         use_carry = self.sf.fast > 1
         carry = None
         pending = []

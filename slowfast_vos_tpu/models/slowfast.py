@@ -307,6 +307,22 @@ class SlowFastTemporal(nn.Module):
             # enhance at 3-7 production shape, scripts/profile_enhance.py
             # variant G; bias added after tap accumulation and cross-tap
             # adds in ascending order, matching temporal_conv_apply).
+            #
+            # Variant G2 (run the concatenated kernel only over the rows the
+            # slow pathway consumes + a fast-only conv on the F-S edge rows,
+            # removing the slow-tap waste) was REVERTED from production: the
+            # input-row slicing adds a second consumer of the padded clip,
+            # and XLA:CPU then fuses the backbone->mask->conv chain
+            # differently in the carry vs plain superchunk graphs — bf16-ulp
+            # enhance differences that flip NMS ties and break the carry
+            # bit-exactness contract (test_carry_path_matches_plain_
+            # superchunks; reproduced with a FRESH compile cache) — the same
+            # failure mode that reverted the round-3 transform rewrite
+            # (CLAUDE.md). The math is exact in f32
+            # (test_stage1_cross_pathway_merged_conv_equals_separate
+            # transcribes G2); it stays staged in scripts/profile_enhance.py
+            # (variant G2) for a TPU-measured, both-backend-revalidated
+            # future adoption.
             cin = padded.shape[-1]
             slow_c = TemporalConv(192, cin=cin, kt=ks1, k=3, name="slow1_conv", dtype=self.dtype)
             fast_c = TemporalConv(32, cin=cin, kt=kf1, k=3, name="fast1_conv", dtype=self.dtype)

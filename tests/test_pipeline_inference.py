@@ -1,6 +1,8 @@
 """End-to-end smoke test of the inference pipeline on a tiny canvas with random
 weights: shapes, validity semantics, finiteness, and chunking across sequence
 lengths that are not multiples of the chunk size."""
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -177,47 +179,36 @@ def test_carry_path_matches_plain_superchunks():
     (`_superchunk_carry_impl`); results must be BIT-identical to running
     every chunk through the plain full-window graph (the overlap frames'
     masked features are deterministic recomputation either way). Covers a
-    3-chunk sequence with a partial last chunk."""
-    import jax.numpy as jnp
+    3-chunk sequence with a partial last chunk.
 
-    pipe, model = build_pipeline(
-        slow=1,
-        fast=3,
-        original_hw=(60, 100),
-        min_size=64,
-        max_size=128,
-        cfg=TINY_CFG,
-        backbone_batch=4,
-        chunk=4,
-        superchunk=4,
+    Runs in a SINGLE-device CPU subprocess (`scripts/verify_carry_tpu.py`),
+    because the contract is per-thread-budget, not universal (round-5
+    finding): under this suite's 8-VIRTUAL-device CPU mesh, XLA:CPU's
+    reduced per-device thread budget partitions conv reductions differently
+    for the batch-SC carry backbone vs the batch-SC+F-1 plain backbone —
+    per-frame backbone outputs differ at bf16 ulp (max 6.3e-2, 6-11% of
+    elements per FPN level, isolated-jit reproduction) and the drift flips
+    NMS ties. Padding the carry batch to SC+F-1 does not restore equality
+    (same-shape subgraphs inside different mega-graph executables still
+    partition differently). On single-device XLA:CPU (this subprocess) the
+    contract is exact; on the TPU chip the same script measured a small
+    bounded drift (boxes <= 0.28 px, scores <= 2.1e-3) — recorded in
+    `scripts/verify_carry_tpu.py`'s docstring, far inside the 0.5-pt J&F
+    parity budget."""
+    import subprocess
+    import sys
+
+    env = os.environ.copy()
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
     )
-    variables = init_variables(model, jax.random.PRNGKey(0))
-    t, sc = 10, 4
-    hl, hr = pipe.halo_left, pipe.halo_right
-    rng = np.random.default_rng(11)
-    images = rng.integers(0, 255, (t, 60, 100, 3), dtype=np.uint8)
-
-    dets = pipe.infer_sequence(variables, images)  # carry path
-
-    # plain path: every chunk through the full-window graph (pre-carry loop)
-    plain = []
-    for c in range(0, t, sc):
-        idxs = np.arange(c - hl, c + sc + hr)
-        in_range = (idxs >= 0) & (idxs < t)
-        window = images[np.clip(idxs, 0, t - 1)].copy()
-        window[~in_range] = 0
-        outs = pipe._superchunk(variables, jnp.asarray(window), jnp.asarray(in_range))
-        n = min(sc, t - c)
-        for f in range(n):
-            plain.append([np.asarray(o[f]) for o in outs])
-
-    assert len(plain) == t
-    for d, p in zip(dets, plain):
-        np.testing.assert_array_equal(d["boxes"], p[0])
-        np.testing.assert_array_equal(d["scores"], p[1])
-        np.testing.assert_array_equal(d["labels"], p[2])
-        np.testing.assert_array_equal(d["valid"], p[3])
-        np.testing.assert_array_equal(
-            d["union_mask"].astype(np.uint8),
-            np.unpackbits(p[4], axis=-1, count=100),
-        )
+    env["JAX_PLATFORMS"] = "cpu"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "verify_carry_tpu.py"),
+         "--platform", "cpu"],
+        env=env, capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, f"\nstdout:\n{r.stdout}\nstderr:\n{r.stderr[-2000:]}"
+    assert "carry contract holds" in r.stdout

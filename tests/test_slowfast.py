@@ -140,14 +140,20 @@ def test_stage1_merged_conv_equals_separate_pathway_convs():
     np.testing.assert_array_equal(np.asarray(merged), np.asarray(sep))
 
 
-@pytest.mark.parametrize("slow,fast", [(3, 7), (1, 7)])
+@pytest.mark.parametrize("slow,fast", [(3, 7), (1, 7), (2, 3)])
 def test_stage1_cross_pathway_merged_conv_equals_separate(slow, fast):
-    """The s != f eval stage-1 (slowfast.py variant G: ONE conv over the full
-    padded clip with every tap kernel along cout, then per-pathway
-    shifted-slice adds) must equal the separate per-pathway temporal convs:
-    slow tap i aligns at clip offset d+i on the d-shifted slow slice, fast
-    tap j at offset j, and per-output-channel conv reductions are
-    independent of cout. Mirrors the adopted code exactly (f32 => exact)."""
+    """Variant G2 (the concatenated slow+fast tap kernels as one conv over
+    the rows the SLOW pathway consumes, a fast-channels-only conv on the F-S
+    edge rows, then per-pathway shifted-slice adds) must equal the separate
+    per-pathway temporal convs: slow tap i aligns at mid offset i, fast tap
+    j at clip offset j over the reassembled edge/mid/edge rows,
+    per-output-channel conv reductions are independent of cout, and 2D
+    convs are row-independent so pre-slicing rows == post-slicing (f32 =>
+    exact). G2 is STAGED (scripts/profile_enhance.py), not production: on
+    XLA:CPU its extra input consumer perturbs carry-vs-plain graph fusions
+    at bf16 ulp and breaks the carry bit-exactness contract — see the
+    variant-G comment in models/slowfast.py. Production runs variant G
+    (test_sequence_mode_equals_window_mode covers it end-to-end)."""
     from slowfast_vos_tpu.models.slowfast import temporal_conv_apply
 
     ks1 = pathway_kernel_sizes(slow)[0]
@@ -165,19 +171,24 @@ def test_stage1_cross_pathway_merged_conv_equals_separate(slow, fast):
     slow_sep = temporal_conv_apply(padded[d : d + t + slow - 1], ws, bs, jnp.float32)
     fast_sep = temporal_conv_apply(padded, wf, bf, jnp.float32)
 
-    # merged G form, transcribed from SlowFastTemporal.__call__
-    wcat = jnp.concatenate([ws[i] for i in range(ks1)] + [wf[j] for j in range(kf1)], axis=-1)
-    y = temporal_conv_apply(padded, wcat[None], None, jnp.float32)
+    # merged G2 form, transcribed from SlowFastTemporal.__call__
+    wfast = jnp.concatenate([wf[j] for j in range(kf1)], axis=-1)
+    wcat = jnp.concatenate([ws[i] for i in range(ks1)] + [wfast], axis=-1)
+    ncs = ks1 * 12
+    mid = padded[d : d + t + slow - 1]
+    y_mid = temporal_conv_apply(mid, wcat[None], None, jnp.float32)
+    edges = jnp.concatenate([padded[:d], padded[d + t + slow - 1 :]])
+    y_edge = temporal_conv_apply(edges, wfast[None], None, jnp.float32)
+    fast_rows = jnp.concatenate([y_edge[:d], y_mid[..., ncs:], y_edge[d:]])
     s_len = (t + slow - 1) - ks1 + 1
     f_len = (t + fast - 1) - kf1 + 1
     s_acc = None
     for i in range(ks1):
-        sl = y[d + i : d + i + s_len, :, :, i * 12 : (i + 1) * 12]
+        sl = y_mid[i : i + s_len, :, :, i * 12 : (i + 1) * 12]
         s_acc = sl if s_acc is None else s_acc + sl
-    base = ks1 * 12
     f_acc = None
     for j in range(kf1):
-        sl = y[j : j + f_len, :, :, base + j * 4 : base + (j + 1) * 4]
+        sl = fast_rows[j : j + f_len, :, :, j * 4 : (j + 1) * 4]
         f_acc = sl if f_acc is None else f_acc + sl
 
     np.testing.assert_allclose(np.asarray(s_acc + bs), np.asarray(slow_sep), rtol=1e-6)
