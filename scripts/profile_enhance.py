@@ -17,9 +17,14 @@ G. stage-1 only: ONE conv over the full padded clip with ALL stage-1 tap
    slow taps over F-S extra frames.
 G2. G, but the full concatenated kernel runs only over the slow window's
    rows and a fast-channels-only conv covers the F-S edge rows — no
-   slow-tap waste. Reverted from production round 5: the extra input
-   consumer breaks the carry bit-exactness contract on XLA:CPU at bf16
-   ulp (see the variant-G comment in models/slowfast.py).
+   slow-tap waste. Reverted from production round 5 for TWO measured
+   reasons: (a) the extra input consumer breaks the carry bit-exactness
+   contract on XLA:CPU at bf16 ulp (see the variant-G comment in
+   models/slowfast.py), and (b) it LOSES on v5e anyway — 167.4 ms vs G's
+   154.6 at 3-7 production shape (round-5 run below): the edge/mid/edge
+   fast-row reassembly concat costs more than the F-S frames of saved
+   192-channel slow-tap compute (~4 ms ideal). The single-pass G
+   structure stands.
 H. fast-pathway cin=32 stages (f2, f3, u1, u2) with the kt taps folded
    into cin: one conv over concat(x[t..t+kt-1], axis=-1) with the tap
    kernels concatenated along cin. Raises MXU row occupancy 32 -> kt*32;
@@ -35,6 +40,11 @@ Measured (TPU v5e behind the tunnel, best of 3):
        | I 152.9; groups: slow chain 111.8, fast chain + fuses 74.1.
        -> G ADOPTED as the s != f eval stage-1 (models/slowfast.py);
        H/I retired (the cin-concat copies eat the occupancy win).
+  3-7 round 5 (hotter link, ~+45 ms RTT baseline vs the r4 run; compare
+       WITHIN the run): F 159.2 | G 154.6 | G2 167.4 | H 160.1 | I 152.4;
+       groups: slow 113.5, fast + fuses 75.5. G2 loses to G by 13 ms —
+       VERDICT r4 item 8's slow-tap-waste hypothesis measured and
+       falsified; I's 2 ms on G is within link noise and stays retired.
 """
 import sys
 import time
